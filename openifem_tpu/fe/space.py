@@ -1,0 +1,289 @@
+"""Scalar Q_k FE spaces and mixed systems on a Mesh.
+
+Replaces deal.II DoFHandler/FESystem (reference: source/fluid_solver.cpp:39-64,
+source/solid_solver.cpp:36-86).  Nodes are topological entities (vertices,
+edge/face/cell interior nodes); per-cell dof index arrays feed the batched
+assembly kernels.  Hanging-node constraints on 1-irregular meshes are built
+geometrically and exported as (master-indices, weights) tables consumed by the
+constraint projection operators in la/constraints.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..mesh.mesh import FACE_VERTICES, Mesh
+from .shapes import QkShapes
+
+
+class FESpace:
+    """Scalar continuous Q_k space; degree <= 2 supported."""
+
+    def __init__(self, mesh: Mesh, degree: int):
+        assert degree in (1, 2), "only Q1/Q2 supported (reference uses <= Q2)"
+        self.mesh = mesh
+        self.degree = degree
+        self.dim = mesh.dim
+        self.shapes = QkShapes(degree, mesh.dim)
+        self._build_nodes()
+        self._build_hanging_constraints()
+
+    # ------------------------------------------------------------------
+    def _build_nodes(self):
+        mesh, k, dim = self.mesh, self.degree, self.dim
+        n1 = k + 1
+        nl = n1 ** dim
+        n_c = mesh.n_cells
+
+        # entity tables
+        edge_ids: Dict[Tuple[int, int], int] = {}
+        face_ids: Dict[frozenset, int] = {}
+        n_nodes = mesh.n_vertices  # vertex nodes first, same ids as vertices
+        cell_dofs = np.zeros((n_c, nl), dtype=np.int64)
+        local_unit = self.shapes.local_nodes()  # (nl, dim)
+
+        # classify each local node once
+        local_kind = []  # (kind, data) per local index
+        for l in range(nl):
+            idx = []
+            rem = l
+            for _ in range(dim):
+                idx.append(rem % n1)
+                rem //= n1
+            interior_axes = [d for d in range(dim) if 0 < idx[d] < k]
+            local_kind.append((idx, interior_axes))
+
+        def vertex_local(idx):
+            # which cell vertex (z-order bit) for an endpoint lattice index
+            b = 0
+            for d in range(dim):
+                if idx[d] == k:
+                    b |= (1 << d)
+            return b
+
+        if k == 2:
+            # allocate edge nodes
+            for c in range(n_c):
+                v = mesh.cells[c]
+                for l, (idx, inter) in enumerate(local_kind):
+                    if len(inter) == 1:
+                        d = inter[0]
+                        lo = list(idx)
+                        hi = list(idx)
+                        lo[d], hi[d] = 0, k
+                        a = int(v[vertex_local(lo)])
+                        b = int(v[vertex_local(hi)])
+                        key = (min(a, b), max(a, b))
+                        if key not in edge_ids:
+                            edge_ids[key] = n_nodes
+                            n_nodes += 1
+            if dim == 3:
+                for c in range(n_c):
+                    v = mesh.cells[c]
+                    for f in range(6):
+                        key = frozenset(int(v[x]) for x in FACE_VERTICES[3][f])
+                        if key not in face_ids:
+                            face_ids[key] = n_nodes
+                            n_nodes += 1
+            cell_interior_start = n_nodes
+            n_nodes += n_c  # one interior node per cell for Q2
+
+        # fill cell_dofs
+        for c in range(n_c):
+            v = mesh.cells[c]
+            for l, (idx, inter) in enumerate(local_kind):
+                if len(inter) == 0:
+                    cell_dofs[c, l] = v[vertex_local(idx)]
+                elif len(inter) == 1:
+                    d = inter[0]
+                    lo = list(idx)
+                    hi = list(idx)
+                    lo[d], hi[d] = 0, k
+                    a = int(v[vertex_local(lo)])
+                    b = int(v[vertex_local(hi)])
+                    cell_dofs[c, l] = edge_ids[(min(a, b), max(a, b))]
+                elif len(inter) == 2 and dim == 3:
+                    d_fix = [d for d in range(3) if d not in inter][0]
+                    f = 2 * d_fix + (1 if idx[d_fix] == k else 0)
+                    key = frozenset(int(v[x]) for x in FACE_VERTICES[3][f])
+                    cell_dofs[c, l] = face_ids[key]
+                else:
+                    cell_dofs[c, l] = cell_interior_start + c
+
+        self.n_nodes = n_nodes
+        self.cell_dofs = cell_dofs
+
+        # node physical positions via the (bi/tri)linear geometry map
+        geo = QkShapes(1, dim)
+        Ng, _ = geo.evaluate(local_unit)  # (nl, 2**dim)
+        pos = np.zeros((n_nodes, dim))
+        cv = mesh.vertices[mesh.cells]  # (n_c, 2**dim, dim)
+        cell_node_pos = np.einsum("lv,cvd->cld", Ng, cv)
+        pos[cell_dofs.ravel()] = cell_node_pos.reshape(-1, dim)
+        self.node_points = pos
+
+        # boundary structure: for each boundary face, the local node indices
+        face_local_nodes = []
+        for f in range(2 * dim):
+            d_fix = f // 2
+            val = 0 if f % 2 == 0 else k
+            lset = [l for l, (idx, _) in enumerate(local_kind)
+                    if idx[d_fix] == val]
+            face_local_nodes.append(lset)
+        self.face_local_nodes = face_local_nodes
+
+    def boundary_nodes(self, ids) -> np.ndarray:
+        """Global node ids whose support point lies on boundary faces with
+        the given boundary ids."""
+        mesh = self.mesh
+        out = set()
+        for c in range(mesh.n_cells):
+            for f in range(2 * mesh.dim):
+                if mesh.boundary_id[c, f] in ids:
+                    for l in self.face_local_nodes[f]:
+                        out.add(int(self.cell_dofs[c, l]))
+        return np.array(sorted(out), dtype=np.int64)
+
+    def boundary_node_map(self) -> Dict[int, np.ndarray]:
+        """boundary id -> node ids."""
+        mesh = self.mesh
+        tmp: Dict[int, set] = {}
+        for c in range(mesh.n_cells):
+            for f in range(2 * mesh.dim):
+                b = int(mesh.boundary_id[c, f])
+                if b >= 0:
+                    s = tmp.setdefault(b, set())
+                    for l in self.face_local_nodes[f]:
+                        s.add(int(self.cell_dofs[c, l]))
+        return {b: np.array(sorted(s), dtype=np.int64)
+                for b, s in tmp.items()}
+
+    # ------------------------------------------------------------------
+    def _build_hanging_constraints(self):
+        """Geometric hanging-node constraints for 1-irregular 2D meshes.
+
+        Each constrained node value = sum_i w_i * value(master_i).
+        deal.II equivalent: DoFTools::make_hanging_node_constraints
+        (reference: source/fluid_solver.cpp:70-71)."""
+        mesh, k = self.mesh, self.degree
+        self.hanging: List[Tuple[int, List[int], List[float]]] = []
+        if mesh.level.max() == mesh.level.min():
+            return  # conforming
+        if mesh.dim == 3:
+            # 3D local refinement not yet supported (3D reference tests use
+            # global refinement only)
+            fm = mesh._face_map()
+            for key, lst in fm.items():
+                if len(lst) == 1:
+                    c, f = lst[0]
+                    if mesh.boundary_id[c, f] < 0:
+                        raise NotImplementedError(
+                            "3D hanging nodes not implemented")
+            return
+
+        # position lookup for mesh vertices
+        vkey = {tuple(np.round(p, 12)): i
+                for i, p in enumerate(mesh.vertices)}
+        fm = mesh._face_map()
+        edge_node = {}
+        if k == 2:
+            # reconstruct the edge-node table: (a, b) -> node id
+            for c in range(mesh.n_cells):
+                v = mesh.cells[c]
+                pairs_2d = [(0, 1), (2, 3), (0, 2), (1, 3)]
+                # local Q2 indices of edge nodes: bottom=1, top=7, left=3,
+                # right=5 (lexicographic 3x3)
+                loc = {(0, 1): 1, (2, 3): 7, (0, 2): 3, (1, 3): 5}
+                for pr in pairs_2d:
+                    a, b = int(v[pr[0]]), int(v[pr[1]])
+                    edge_node[(min(a, b), max(a, b))] = int(
+                        self.cell_dofs[c, loc[pr]])
+
+        for key, lst in fm.items():
+            if len(lst) != 1:
+                continue
+            c, f = lst[0]
+            if mesh.boundary_id[c, f] >= 0:
+                continue
+            a, b = [int(mesh.cells[c, v]) for v in FACE_VERTICES[2][f]]
+            pm = tuple(np.round(0.5 * (mesh.vertices[a] + mesh.vertices[b]),
+                                12))
+            if pm not in vkey:
+                continue  # not actually hanging (e.g. outer face of hole)
+            m = vkey[pm]
+            if k == 1:
+                self.hanging.append((m, [a, b], [0.5, 0.5]))
+            else:
+                M = edge_node[(min(a, b), max(a, b))]
+                # fine vertex at the coarse edge midpoint
+                self.hanging.append((m, [M], [1.0]))
+                # fine edge nodes at t=1/4 and 3/4 along the coarse edge
+                for (lo, t) in (((a, m), 0.25), ((m, b), 0.75)):
+                    kk = (min(lo), max(lo))
+                    if kk not in edge_node:
+                        continue
+                    fine = edge_node[kk]
+                    # quadratic Lagrange on {0, 1/2, 1} evaluated at t
+                    wa = 2 * (t - 0.5) * (t - 1.0)
+                    wm = 4 * t * (1.0 - t)
+                    wb = 2 * t * (t - 0.5)
+                    self.hanging.append((fine, [a, M, b], [wa, wm, wb]))
+
+
+class SystemSpace:
+    """Mixed system of (FESpace, n_components) blocks in one global vector.
+
+    For the fluid: [(Q2, dim), (Q1, 1)] -> dofs [u interleaved, p];
+    deal.II equivalent: FESystem + block renumbering
+    (reference: source/fluid_solver.cpp:44-56)."""
+
+    def __init__(self, blocks: List[Tuple[FESpace, int]]):
+        self.blocks = blocks
+        self.offsets = []
+        off = 0
+        for sp, nc in blocks:
+            self.offsets.append(off)
+            off += sp.n_nodes * nc
+        self.n_dofs = off
+        # combined per-cell dof array
+        n_c = blocks[0][0].mesh.n_cells
+        parts = []
+        for (sp, nc), off in zip(blocks, self.offsets):
+            cd = sp.cell_dofs  # (n_c, nl)
+            if nc == 1:
+                parts.append(off + cd)
+            else:
+                comp = np.arange(nc)
+                parts.append(off + (cd[:, :, None] * nc +
+                                    comp[None, None, :]).reshape(n_c, -1))
+        self.cell_dofs = np.concatenate(parts, axis=1)
+        self.block_slices = []
+        for (sp, nc), off in zip(blocks, self.offsets):
+            self.block_slices.append(slice(off, off + sp.n_nodes * nc))
+
+    def block_dofs(self, b: int) -> slice:
+        return self.block_slices[b]
+
+    def hanging_tables(self, max_masters: int = 3):
+        """Constraint tables over the global dof vector.
+
+        Returns (idx (n_dofs, K) int, w (n_dofs, K) float, is_hanging(bool)):
+        row i reconstructs dof i from masters; identity for unconstrained."""
+        n = self.n_dofs
+        K = max_masters
+        idx = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+        w = np.zeros((n, K))
+        w[:, 0] = 1.0
+        is_h = np.zeros(n, dtype=bool)
+        for (sp, nc), off in zip(self.blocks, self.offsets):
+            for (node, masters, weights) in sp.hanging:
+                for comp in range(nc):
+                    gi = off + node * nc + comp
+                    is_h[gi] = True
+                    w[gi, :] = 0.0
+                    for j, (mnode, mw) in enumerate(zip(masters, weights)):
+                        idx[gi, j] = off + mnode * nc + comp
+                        w[gi, j] = mw
+        return idx, w, is_h

@@ -1,0 +1,364 @@
+"""Unstructured quad/hex mesh with refinement (host-side, numpy).
+
+TPU-native replacement for deal.II Triangulation / p4est: the mesh is plain
+index arrays; all heavy per-element work downstream happens in batched JAX
+kernels over device arrays derived from it.  Adaptivity is performed on the
+host between jitted solve segments (the reference refines at fixed intervals,
+e.g. source/fsi.cpp:383-456, so recompilation is rare and amortized).
+
+Conventions follow deal.II (so reference test geometry translates 1:1):
+ - cell vertex order is z-order over the unit hypercube bits (x fastest)
+ - face order: 2D [-x,+x,-y,+y]; 3D [-x,+x,-y,+y,-z,+z]
+ - boundary_id < 0 means interior face
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .manifolds import FlatManifold
+
+# face -> local vertex indices (deal.II GeometryInfo)
+FACE_VERTICES = {
+    1: [[0], [1]],
+    2: [[0, 2], [1, 3], [0, 1], [2, 3]],
+    3: [[0, 2, 4, 6], [1, 3, 5, 7], [0, 1, 4, 5], [2, 3, 6, 7],
+        [0, 1, 2, 3], [4, 5, 6, 7]],
+}
+
+# 2D quad edges as (vertex, vertex): bottom, top, left, right
+_EDGES_2D = [(0, 1), (2, 3), (0, 2), (1, 3)]
+# 3D hex edges (12)
+_EDGES_3D = [(0, 1), (2, 3), (4, 5), (6, 7),   # x-dir
+             (0, 2), (1, 3), (4, 6), (5, 7),   # y-dir
+             (0, 4), (1, 5), (2, 6), (3, 7)]   # z-dir
+
+FLAT = FlatManifold()
+FLAT_ID = -1
+
+
+@dataclass
+class Mesh:
+    dim: int
+    vertices: np.ndarray                 # (n_v, dim) float64
+    cells: np.ndarray                    # (n_c, 2**dim) int64
+    material_id: np.ndarray = None       # (n_c,) int32
+    boundary_id: np.ndarray = None       # (n_c, 2*dim) int32, -1 interior
+    face_manifold: np.ndarray = None     # (n_c, 2*dim) int32, -1 flat
+    cell_manifold: np.ndarray = None     # (n_c,) int32, -1 flat
+    level: np.ndarray = None             # (n_c,) int32 refinement level
+    manifolds: Dict[int, object] = field(default_factory=dict)
+
+    def __post_init__(self):
+        n_c = len(self.cells)
+        nf = 2 * self.dim
+        if self.material_id is None:
+            self.material_id = np.ones(n_c, dtype=np.int32)
+        if self.boundary_id is None:
+            self.boundary_id = np.full((n_c, nf), -1, dtype=np.int32)
+        if self.face_manifold is None:
+            self.face_manifold = np.full((n_c, nf), FLAT_ID, dtype=np.int32)
+        if self.cell_manifold is None:
+            self.cell_manifold = np.full(n_c, FLAT_ID, dtype=np.int32)
+        if self.level is None:
+            self.level = np.zeros(n_c, dtype=np.int32)
+        self.vertices = np.asarray(self.vertices, dtype=np.float64)
+        self.cells = np.asarray(self.cells, dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_cells(self) -> int:
+        return len(self.cells)
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vertices)
+
+    def cell_centers(self) -> np.ndarray:
+        return self.vertices[self.cells].mean(axis=1)
+
+    def cell_diameters(self) -> np.ndarray:
+        """deal.II cell diameter: largest vertex-to-vertex distance."""
+        v = self.vertices[self.cells]  # (n_c, 2**dim, dim)
+        if self.dim == 2:
+            d1 = np.linalg.norm(v[:, 0] - v[:, 3], axis=1)
+            d2 = np.linalg.norm(v[:, 1] - v[:, 2], axis=1)
+            return np.maximum(d1, d2)
+        d1 = np.linalg.norm(v[:, 0] - v[:, 7], axis=1)
+        d2 = np.linalg.norm(v[:, 1] - v[:, 6], axis=1)
+        d3 = np.linalg.norm(v[:, 2] - v[:, 5], axis=1)
+        d4 = np.linalg.norm(v[:, 3] - v[:, 4], axis=1)
+        return np.maximum(np.maximum(d1, d2), np.maximum(d3, d4))
+
+    def _manifold(self, mid: int):
+        if mid == FLAT_ID or mid not in self.manifolds:
+            return FLAT
+        return self.manifolds[mid]
+
+    def boundary_faces(self, ids=None) -> List[Tuple[int, int]]:
+        """(cell, local face) pairs on the boundary, optionally filtered."""
+        out = []
+        for c in range(self.n_cells):
+            for f in range(2 * self.dim):
+                b = self.boundary_id[c, f]
+                if b >= 0 and (ids is None or b in ids):
+                    out.append((c, f))
+        return out
+
+    # ------------------------------------------------------------------
+    # refinement
+    def refine_global(self, n: int = 1) -> "Mesh":
+        m = self
+        for _ in range(n):
+            m = m._refine(np.ones(m.n_cells, dtype=bool))
+        return m
+
+    def refine(self, flags: np.ndarray) -> "Mesh":
+        """Refine flagged cells, enforcing 2:1 balance (1-irregular mesh)."""
+        flags = np.asarray(flags, dtype=bool).copy()
+        # 2:1 balance: a cell must be refined if a face neighbor is flagged
+        # and already one level finer.
+        changed = True
+        while changed:
+            changed = False
+            face_map = self._face_map()
+            for key, lst in face_map.items():
+                if len(lst) != 2:
+                    continue
+                (c0, _), (c1, _) = lst
+                for a, b in ((c0, c1), (c1, c0)):
+                    la = self.level[a] + (1 if flags[a] else 0)
+                    lb = self.level[b] + (1 if flags[b] else 0)
+                    if la - lb > 1 and not flags[b]:
+                        flags[b] = True
+                        changed = True
+        return self._refine(flags)
+
+    def _face_map(self):
+        """Map frozenset(face vertices) -> list of (cell, face)."""
+        fm: Dict[frozenset, list] = {}
+        fv = FACE_VERTICES[self.dim]
+        for c in range(self.n_cells):
+            for f in range(2 * self.dim):
+                key = frozenset(int(self.cells[c, v]) for v in fv[f])
+                fm.setdefault(key, []).append((c, f))
+        return fm
+
+    def _refine(self, flags: np.ndarray) -> "Mesh":
+        if self.dim == 2:
+            return self._refine_2d(flags)
+        elif self.dim == 3:
+            return self._refine_3d(flags)
+        raise NotImplementedError
+
+    # -- helpers shared by 2D/3D refinement
+    def _edge_manifold_id(self, c: int, edge_vs: Tuple[int, int],
+                          edge_face_map) -> int:
+        """Manifold id governing a new point on this edge.
+
+        Priority (mirroring deal.II): a boundary/face manifold on any face
+        containing the edge, else the cell manifold.
+        """
+        key = frozenset(edge_vs)
+        best = FLAT_ID
+        for (cc, ff) in edge_face_map.get(key, []):
+            mid = self.face_manifold[cc, ff]
+            if mid != FLAT_ID:
+                return mid
+        if self.cell_manifold[c] != FLAT_ID:
+            best = self.cell_manifold[c]
+        return best
+
+    def _refine_2d(self, flags: np.ndarray) -> "Mesh":
+        verts = list(self.vertices)
+        new_vertex: Dict[frozenset, int] = {}
+
+        # map edge -> (cell, face) occurrences for manifold lookup: in 2D
+        # edges ARE faces.
+        edge_face_map = self._face_map()
+
+        def midpoint(c, va, vb):
+            key = frozenset((int(va), int(vb)))
+            if key in new_vertex:
+                return new_vertex[key]
+            mid = self._edge_manifold_id(c, (int(va), int(vb)), edge_face_map)
+            p = self._manifold(mid).new_point(
+                np.array([verts[va], verts[vb]]))
+            new_vertex[key] = len(verts)
+            verts.append(p)
+            return new_vertex[key]
+
+        new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
+            [], [], [], [], [], []
+        for c in range(self.n_cells):
+            v = self.cells[c]
+            if not flags[c]:
+                new_cells.append(list(v))
+                new_mat.append(self.material_id[c])
+                new_bnd.append(list(self.boundary_id[c]))
+                new_fman.append(list(self.face_manifold[c]))
+                new_cman.append(self.cell_manifold[c])
+                new_lvl.append(self.level[c])
+                continue
+            mb = midpoint(c, v[0], v[1])
+            mt = midpoint(c, v[2], v[3])
+            ml = midpoint(c, v[0], v[2])
+            mr = midpoint(c, v[1], v[3])
+            cman = self.cell_manifold[c]
+            ctr_pts = np.array([verts[v[0]], verts[v[1]],
+                                verts[v[2]], verts[v[3]]])
+            cc = self._manifold(cman).new_point(ctr_pts)
+            ci = len(verts)
+            verts.append(cc)
+            b = self.boundary_id[c]
+            fm = self.face_manifold[c]
+            # children in z-order; faces [-x,+x,-y,+y]
+            kids = [
+                ([v[0], mb, ml, ci], [b[0], -1, b[2], -1],
+                 [fm[0], cman, fm[2], cman]),
+                ([mb, v[1], ci, mr], [-1, b[1], b[2], -1],
+                 [cman, fm[1], fm[2], cman]),
+                ([ml, ci, v[2], mt], [b[0], -1, -1, b[3]],
+                 [fm[0], cman, cman, fm[3]]),
+                ([ci, mr, mt, v[3]], [-1, b[1], -1, b[3]],
+                 [cman, fm[1], cman, fm[3]]),
+            ]
+            for kc, kb, kf in kids:
+                new_cells.append(kc)
+                new_mat.append(self.material_id[c])
+                new_bnd.append(kb)
+                new_fman.append(kf)
+                new_cman.append(cman)
+                new_lvl.append(self.level[c] + 1)
+
+        return Mesh(dim=2,
+                    vertices=np.array(verts),
+                    cells=np.array(new_cells, dtype=np.int64),
+                    material_id=np.array(new_mat, dtype=np.int32),
+                    boundary_id=np.array(new_bnd, dtype=np.int32),
+                    face_manifold=np.array(new_fman, dtype=np.int32),
+                    cell_manifold=np.array(new_cman, dtype=np.int32),
+                    level=np.array(new_lvl, dtype=np.int32),
+                    manifolds=self.manifolds)
+
+    def _refine_3d(self, flags: np.ndarray) -> "Mesh":
+        verts = list(self.vertices)
+        new_vertex: Dict[frozenset, int] = {}
+        face_map = self._face_map()
+
+        # build edge -> faces-containing map for manifold decisions
+        edge_face_map: Dict[frozenset, list] = {}
+        fv = FACE_VERTICES[3]
+        face_edges = {  # edges (as index pairs into face vertex list)
+            f: [(0, 1), (2, 3), (0, 2), (1, 3)] for f in range(6)
+        }
+        for c in range(self.n_cells):
+            for f in range(6):
+                vs = [int(self.cells[c, v]) for v in fv[f]]
+                for (a, b) in face_edges[f]:
+                    edge_face_map.setdefault(
+                        frozenset((vs[a], vs[b])), []).append((c, f))
+
+        def new_pt(key, points, mid):
+            if key in new_vertex:
+                return new_vertex[key]
+            p = self._manifold(mid).new_point(np.asarray(points))
+            new_vertex[key] = len(verts)
+            verts.append(p)
+            return new_vertex[key]
+
+        def edge_mid(c, va, vb):
+            key = frozenset((int(va), int(vb)))
+            mid = self._edge_manifold_id(c, (int(va), int(vb)), edge_face_map)
+            return new_pt(key, [verts[va], verts[vb]], mid)
+
+        def face_mid(c, f):
+            vs = [int(self.cells[c, v]) for v in fv[f]]
+            key = frozenset(vs)
+            mid = self.face_manifold[c, f]
+            if mid == FLAT_ID:
+                mid = self.cell_manifold[c]
+            return new_pt(key, [verts[x] for x in vs], mid)
+
+        new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
+            [], [], [], [], [], []
+        for c in range(self.n_cells):
+            v = [int(x) for x in self.cells[c]]
+            if not flags[c]:
+                new_cells.append(v)
+                new_mat.append(self.material_id[c])
+                new_bnd.append(list(self.boundary_id[c]))
+                new_fman.append(list(self.face_manifold[c]))
+                new_cman.append(self.cell_manifold[c])
+                new_lvl.append(self.level[c])
+                continue
+            # 12 edge midpoints
+            em = {e: edge_mid(c, v[e[0]], v[e[1]]) for e in _EDGES_3D}
+            # 6 face centers
+            fc = [face_mid(c, f) for f in range(6)]
+            # cell center
+            cman = self.cell_manifold[c]
+            ck = frozenset(v)
+            ci = new_pt(ck, [verts[x] for x in v], cman)
+
+            # Build the 3x3x3 lattice of points indices for this cell:
+            # lattice[i][j][k] with i,j,k in {0,1,2} (x,y,z halves)
+            L = np.empty((3, 3, 3), dtype=np.int64)
+            bits = lambda i, j, k: v[(i // 2) + 2 * (j // 2) + 4 * (k // 2)]
+            # corners
+            for i in (0, 2):
+                for j in (0, 2):
+                    for k in (0, 2):
+                        L[i, j, k] = bits(i, j, k)
+            # edge midpoints
+            L[1, 0, 0] = em[(0, 1)]; L[1, 2, 0] = em[(2, 3)]
+            L[1, 0, 2] = em[(4, 5)]; L[1, 2, 2] = em[(6, 7)]
+            L[0, 1, 0] = em[(0, 2)]; L[2, 1, 0] = em[(1, 3)]
+            L[0, 1, 2] = em[(4, 6)]; L[2, 1, 2] = em[(5, 7)]
+            L[0, 0, 1] = em[(0, 4)]; L[2, 0, 1] = em[(1, 5)]
+            L[0, 2, 1] = em[(2, 6)]; L[2, 2, 1] = em[(3, 7)]
+            # face centers: faces [-x,+x,-y,+y,-z,+z]
+            L[0, 1, 1] = fc[0]; L[2, 1, 1] = fc[1]
+            L[1, 0, 1] = fc[2]; L[1, 2, 1] = fc[3]
+            L[1, 1, 0] = fc[4]; L[1, 1, 2] = fc[5]
+            L[1, 1, 1] = ci
+
+            b = self.boundary_id[c]
+            fm = self.face_manifold[c]
+            for kz in range(2):
+                for ky in range(2):
+                    for kx in range(2):
+                        kc = [int(L[kx + dx, ky + dy, kz + dz])
+                              for dz in (0, 1) for dy in (0, 1)
+                              for dx in (0, 1)]
+                        kb = [b[0] if kx == 0 else -1,
+                              b[1] if kx == 1 else -1,
+                              b[2] if ky == 0 else -1,
+                              b[3] if ky == 1 else -1,
+                              b[4] if kz == 0 else -1,
+                              b[5] if kz == 1 else -1]
+                        kf = [fm[0] if kx == 0 else cman,
+                              fm[1] if kx == 1 else cman,
+                              fm[2] if ky == 0 else cman,
+                              fm[3] if ky == 1 else cman,
+                              fm[4] if kz == 0 else cman,
+                              fm[5] if kz == 1 else cman]
+                        new_cells.append(kc)
+                        new_mat.append(self.material_id[c])
+                        new_bnd.append(kb)
+                        new_fman.append(kf)
+                        new_cman.append(cman)
+                        new_lvl.append(self.level[c] + 1)
+
+        return Mesh(dim=3,
+                    vertices=np.array(verts),
+                    cells=np.array(new_cells, dtype=np.int64),
+                    material_id=np.array(new_mat, dtype=np.int32),
+                    boundary_id=np.array(new_bnd, dtype=np.int32),
+                    face_manifold=np.array(new_fman, dtype=np.int32),
+                    cell_manifold=np.array(new_cman, dtype=np.int32),
+                    level=np.array(new_lvl, dtype=np.int32),
+                    manifolds=self.manifolds)
