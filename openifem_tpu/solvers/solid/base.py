@@ -1,0 +1,206 @@
+"""Solid solver base: spaces, constraints, Newmark state, traction RHS.
+
+Reference: include/solid_solver.h:59-180, source/solid_solver.cpp.
+TPU design: all element data lives as batched device arrays; the per-step
+linear solves are jitted matrix-free CG; the time loop runs on the host (the
+reference's Newton/te loops are host loops over PETSc solves in the same
+way).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...fe.fevalues import CellValues, FaceValues, cell_values, face_values
+from ...fe.shapes import gauss_quadrature
+from ...fe.space import FESpace, SystemSpace
+from ...la.constraints import Constraints
+from ...la.krylov import cg
+from ...la.operators import element_diag, element_matvec
+from ...parameters import AllParameters, component_flag_to_mask
+from ...utils.timectl import Time
+
+
+class SolidSolverBase:
+    def __init__(self, mesh, params: AllParameters):
+        self.mesh = mesh
+        self.params = params
+        self.dim = mesh.dim
+        self.time = Time(params.end_time, params.time_step,
+                         params.output_interval, params.refinement_interval,
+                         params.save_interval)
+        self._setup_done = False
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        """setup_dofs + initialize_system (reference:
+        source/solid_solver.cpp:36-122)."""
+        params, mesh = self.params, self.mesh
+        dim = self.dim
+        self.space = FESpace(mesh, params.solid_degree)
+        self.sys = SystemSpace([(self.space, dim)])
+        self.n_dofs = self.sys.n_dofs
+        nq = params.solid_degree + 1
+        self.cv: CellValues = cell_values(self.space, nq)
+        self.fv: Optional[FaceValues] = face_values(self.space, nq)
+
+        # Dirichlet constraints (homogeneous only; reference:
+        # source/solid_solver.cpp:55-84) + hanging nodes
+        dmask = np.zeros(self.n_dofs, dtype=bool)
+        bmap = self.space.boundary_node_map()
+        for bid, flag in params.solid_dirichlet_bcs.items():
+            if bid not in bmap:
+                continue
+            mask = component_flag_to_mask(flag, dim)
+            for d in range(dim):
+                if mask[d]:
+                    dmask[bmap[bid] * dim + d] = True
+        hidx, hw, hmask = self.sys.hanging_tables()
+        self.constraints = Constraints(self.n_dofs, hidx, hw, hmask,
+                                       dirichlet_mask=dmask)
+
+        dt = real_dtype()
+        z = jnp.zeros(self.n_dofs, dtype=dt)
+        self.current_displacement = z
+        self.current_velocity = z
+        self.current_acceleration = z
+        self.previous_displacement = z
+        self.previous_velocity = z
+        self.previous_acceleration = z
+
+        # FSI traction per boundary-face entry (constant per face, as the
+        # serial reference stores per-face CellProperty fsi_traction)
+        if self.fv is not None:
+            self.fsi_traction = jnp.zeros((len(self.fv.cells), dim), dtype=dt)
+        else:
+            self.fsi_traction = None
+
+        self._setup_strain_projection()
+        self._assemble_constant()
+        self._setup_done = True
+
+    # ------------------------------------------------------------------
+    def _setup_strain_projection(self):
+        """Unit-cell projection matrix quadrature -> nodal dofs
+        (deal.II FETools::compute_projection_from_quadrature_points_matrix,
+        used in reference: source/linear_elasticity.cpp:347-352)."""
+        k = self.params.solid_degree
+        qp, qw = gauss_quadrature(k + 1, self.dim)
+        N, _ = self.space.shapes.evaluate(qp)  # (n_q, nl)
+        Mref = np.einsum("qi,qj,q->ij", N, N, qw)
+        Q = (N * qw[:, None]).T  # (nl, n_q)
+        self.qpt_to_dof = np.linalg.solve(Mref, Q)  # (nl, n_q)
+        counts = np.zeros(self.space.n_nodes)
+        np.add.at(counts, self.space.cell_dofs.ravel(), 1.0)
+        self.scalar_node_counts = counts
+
+    def project_to_nodes(self, quad_field: np.ndarray) -> np.ndarray:
+        """(n_c, n_q) quadrature field -> averaged nodal field."""
+        cellwise = np.einsum("iq,cq->ci", self.qpt_to_dof, quad_field)
+        out = np.zeros(self.space.n_nodes)
+        np.add.at(out, self.space.cell_dofs.ravel(), cellwise.ravel())
+        return out / self.scalar_node_counts
+
+    # ------------------------------------------------------------------
+    def _assemble_constant(self):
+        """Subclass hook: precompute constant element matrices."""
+        raise NotImplementedError
+
+    def run_one_step(self, first_step: bool):
+        raise NotImplementedError
+
+    def run(self):
+        """reference: source/solid_solver.cpp:270-283."""
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[1])
+            self.setup()
+        self.run_one_step(True)
+        while self.time.end() - self.time.current() > 1e-12:
+            self.run_one_step(False)
+
+    def get_current_solution(self):
+        return self.current_displacement
+
+    # ------------------------------------------------------------------
+    def make_cg_solver(self, op, diag, maxiter=None):
+        """Build a once-jitted CG solve fn(b, atol) -> SolveResult.
+
+        Jacobi preconditioning on the condensed system (reference uses
+        CG+SSOR, source/solid_solver.cpp:125-142; Jacobi is the TPU-friendly
+        stand-in — pure elementwise)."""
+        if maxiter is None:
+            maxiter = self.n_dofs
+        dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+
+        def solve(b, atol):
+            return cg(op, b, M=lambda r: r * dinv, atol=atol, maxiter=maxiter)
+
+        return jax.jit(solve)
+
+    # -- standalone Neumann traction ----------------------------------
+    def _standalone_face_traction(self, skip_dirichlet_faces: bool):
+        """(n_f, n_q, dim) prescribed traction on boundary faces.
+
+        reference: source/linear_elasticity.cpp:140-207 /
+        source/hyper_elasticity.cpp:445-505."""
+        fv = self.fv
+        params = self.params
+        if fv is None:
+            return None
+        n_f, n_q = fv.JxW.shape
+        t = np.zeros((n_f, n_q, self.dim))
+        for i in range(n_f):
+            bid = int(fv.boundary_id[i])
+            if skip_dirichlet_faces and bid in params.solid_dirichlet_bcs:
+                continue
+            if params.simulation_type != "FSI":
+                if bid not in params.solid_neumann_bcs:
+                    continue
+                val = params.solid_neumann_bcs[bid]
+                if params.solid_neumann_bc_type == "Traction":
+                    t[i, :, :] = np.asarray(val)[None, :]
+                else:  # Pressure w.r.t. reference configuration
+                    t[i, :, :] = np.asarray(fv.normals[i]) * val[0]
+        return jnp.asarray(t, dtype=real_dtype())
+
+    def traction_rhs(self, traction_q):
+        """Assemble face traction into the global rhs.
+
+        traction_q: (n_f, n_q, dim)."""
+        fv = self.fv
+        if fv is None or traction_q is None:
+            return jnp.zeros(self.n_dofs, dtype=real_dtype())
+        # rhs[(l,a)] += N_l(q) * t_a(q) * JxW(q)
+        rl = jnp.einsum("fqi,fqa,fq->fia", jnp.asarray(fv.N), traction_q,
+                        jnp.asarray(fv.JxW))
+        n_f = rl.shape[0]
+        rl = rl.reshape(n_f, -1)
+        face_cell_dofs = self.sys.cell_dofs[np.asarray(fv.cells)]
+        return jnp.zeros(self.n_dofs, dtype=real_dtype()).at[
+            face_cell_dofs.reshape(-1)].add(rl.reshape(-1))
+
+    # -- nodal strain/stress ------------------------------------------
+    def update_strain_and_stress(self):
+        """Projected nodal strain/stress with surrounding-cell averaging
+        (reference: source/linear_elasticity.cpp:316-441)."""
+        d = self.dim
+        u = np.asarray(self.current_displacement).reshape(-1, d)
+        ul = u[self.space.cell_dofs]  # (n_c, nl, d)
+        gradu = np.einsum("cqlx,cla->cqax", self.cv.grad, ul)
+        eps = 0.5 * (gradu + np.swapaxes(gradu, 2, 3))
+        sig = self._stress_from_strain(eps, gradu)
+        self.strain = np.stack(
+            [[self.project_to_nodes(eps[:, :, i, j]) for j in range(d)]
+             for i in range(d)])
+        self.stress = np.stack(
+            [[self.project_to_nodes(sig[:, :, i, j]) for j in range(d)]
+             for i in range(d)])
+
+    def _stress_from_strain(self, eps, gradu):
+        raise NotImplementedError

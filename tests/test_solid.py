@@ -1,0 +1,81 @@
+"""Solid solver regression tests against the reference goldens.
+
+Golden values come from /root/reference/tests/solid_* (rtol 1e-3):
+ - solid_gravity_linearelastic: free-fall umin = -5.0
+ - solid_gravity_hyperelastic:  free-fall umin = -5.0
+ - solid_beam_bending_linearelastic: umin = -0.1337 (marked slow)
+ - solid_beam_bending_NeoHookean (2D): umin=-0.0616287 umax=0.00867069
+"""
+
+import numpy as np
+import pytest
+
+from openifem_tpu.mesh import generators
+from openifem_tpu.parameters import AllParameters
+from openifem_tpu.solvers.solid import HyperElasticity, LinearElasticity
+
+REF = "/root/reference/tests"
+
+
+def test_solid_gravity_linearelastic():
+    p = AllParameters.from_file(
+        f"{REF}/solid_gravity_linearelastic/solid_gravity_linearelastic.prm")
+    mesh = generators.sphere([0.0, 0.0], 0.25, dim=2)
+    solid = LinearElasticity(mesh, p)
+    solid.run()
+    umin = float(np.min(np.asarray(solid.get_current_solution())))
+    assert abs(umin + 5.0) / 5.0 < 1e-3
+
+
+def test_solid_gravity_hyperelastic():
+    p = AllParameters.from_file(
+        f"{REF}/solid_gravity_hyperelastic/solid_gravity_hyperelastic.prm")
+    mesh = generators.sphere([0.0, 0.0], 0.25, dim=2)
+    solid = HyperElasticity(mesh, p)
+    solid.run()
+    umin = float(np.min(np.asarray(solid.get_current_solution())))
+    assert abs(umin + 5.0) / 5.0 < 1e-3
+
+
+def test_solid_beam_bending_neohookean_2d():
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_NeoHookean/"
+        "solid_beam_bending_NeoHookean.prm")
+    L, H = 10.0, 1.0
+    mesh = generators.subdivided_hyper_rectangle([40, 4], [0, 0], [L, H])
+    solid = HyperElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    umin, umax = float(u.min()), float(u.max())
+    assert abs((umin + 0.0616287) / 0.0616287) < 1e-3
+    assert abs((umax - 0.00867069) / 0.00867069) < 1e-3
+
+
+@pytest.mark.slow
+def test_solid_beam_bending_linearelastic():
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_linearelastic/"
+        "solid_beam_bending_linearelastic.prm")
+    L, H = 8.0, 1.0
+    mesh = generators.subdivided_hyper_rectangle([32, 4], [0, 0], [L, H])
+    solid = LinearElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    umin = float(u.min())
+    assert abs((umin + 0.1337) / 0.1337) < 1e-3
+
+
+def test_beam_linear_short_sanity():
+    """Truncated beam: static tip deflection direction + magnitude scale."""
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_linearelastic/"
+        "solid_beam_bending_linearelastic.prm")
+    p.end_time = 10.0
+    mesh = generators.subdivided_hyper_rectangle([32, 4], [0, 0], [8.0, 1.0])
+    solid = LinearElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    # beam loaded downward -> negative y displacement of the tip
+    assert u.min() < -0.003
+    solid.update_strain_and_stress()
+    assert solid.stress.shape[0] == 2
