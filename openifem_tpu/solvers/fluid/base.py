@@ -1,0 +1,193 @@
+"""Fluid solver base: Taylor-Hood spaces, BCs, stress projection.
+
+Reference: include/fluid_solver.h:63-171, source/fluid_solver.cpp.
+Global dof vector = [u (node-major, component fastest), p]; deal.II's block
+renumbering becomes two index ranges of one flat vector.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...fe.fevalues import cell_values, face_values
+from ...fe.shapes import gauss_quadrature
+from ...fe.space import FESpace, SystemSpace
+from ...la.constraints import Constraints
+from ...parameters import (AllParameters, component_flag_to_mask,
+                           component_flag_values)
+from ...utils.timectl import Time
+
+
+class FluidSolverBase:
+    def __init__(self, mesh, params: AllParameters,
+                 bc: Optional[Callable] = None):
+        """bc: hard-coded boundary-value function f(points (n,dim), component)
+        -> (n,) used when params.use_hard_coded_values (reference:
+        source/fluid_solver.cpp:132-143)."""
+        self.mesh = mesh
+        self.params = params
+        self.dim = mesh.dim
+        self.boundary_values = bc
+        self.time = Time(params.end_time, params.time_step,
+                         params.output_interval, params.refinement_interval,
+                         params.save_interval)
+        self._setup_done = False
+        self.body_force = None          # set_body_force analog
+        self.initial_condition = None   # set_initial_condition analog
+
+    # ------------------------------------------------------------------
+    def set_body_force(self, fn: Callable):
+        """fn(points (n,dim)) -> (n,dim) body acceleration (reference:
+        source/mpi_fluid_solver.cpp:81-91)."""
+        self.body_force = fn
+
+    def set_initial_condition(self, fn: Callable):
+        """fn(points (n,dim), component) -> (n,) initial field values
+        (reference: source/mpi_fluid_solver.cpp:105-113)."""
+        self.initial_condition = fn
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        params, mesh = self.params, self.mesh
+        dim = self.dim
+        vdeg = params.fluid_velocity_degree
+        pdeg = params.fluid_pressure_degree
+        self.u_space = FESpace(mesh, vdeg)
+        self.p_space = FESpace(mesh, pdeg)
+        self.sys = SystemSpace([(self.u_space, dim), (self.p_space, 1)])
+        self.n_dofs = self.sys.n_dofs
+        self.n_u = self.u_space.n_nodes * dim
+        self.n_p = self.p_space.n_nodes
+
+        nq = vdeg + 1
+        self.cv_u = cell_values(self.u_space, nq)
+        self.cv_p = cell_values(self.p_space, nq)
+        self.fv_u = face_values(self.u_space, nq)
+
+        self._make_constraints()
+        self._setup_stress_projection()
+
+        rdt = real_dtype()
+        self.present_solution = jnp.zeros(self.n_dofs, dtype=rdt)
+        self.solution_increment = jnp.zeros(self.n_dofs, dtype=rdt)
+        if self.initial_condition is not None:
+            self._apply_initial_condition()
+
+        n_c = mesh.n_cells
+        self.indicator = jnp.zeros(n_c, dtype=rdt)
+        self.fsi_acceleration = jnp.zeros((n_c, dim), dtype=rdt)
+        self.fsi_stress_cell = jnp.zeros((n_c, dim, dim), dtype=rdt)
+        # nodal viscous stress (dim, dim, n_scalar_nodes)
+        self.stress = np.zeros((dim, dim, self.u_space.n_nodes))
+        self._setup_done = True
+
+    # ------------------------------------------------------------------
+    def _make_constraints(self):
+        """Dirichlet constraint masks + values on the velocity block
+        (reference: source/fluid_solver.cpp:66-163)."""
+        params, dim = self.params, self.dim
+        dmask = np.zeros(self.n_dofs, dtype=bool)
+        dvals = np.zeros(self.n_dofs)
+        bmap = self.u_space.boundary_node_map()
+        # deal.II's AffineConstraints keeps the FIRST constraint added for a
+        # dof; boundaries are processed in ascending id order (std::map), so
+        # at corner nodes the lower boundary id wins.
+        for bid in sorted(params.fluid_dirichlet_bcs):
+            flag, vals = params.fluid_dirichlet_bcs[bid]
+            if bid not in bmap:
+                continue
+            nodes = bmap[bid]
+            mask = component_flag_to_mask(flag, dim)
+            per_axis = component_flag_values(flag, vals, dim)
+            pts = self.u_space.node_points[nodes]
+            for d in range(dim):
+                if not mask[d]:
+                    continue
+                gd = nodes * dim + d
+                fresh = ~dmask[gd]
+                if params.use_hard_coded_values and \
+                        self.boundary_values is not None:
+                    v = np.asarray(self.boundary_values(pts, d))
+                else:
+                    v = np.full(len(nodes), per_axis[d])
+                dvals[gd[fresh]] = v[fresh]
+                dmask[gd] = True
+        hidx, hw, hmask = self.sys.hanging_tables()
+        self.zero_constraints = Constraints(self.n_dofs, hidx, hw, hmask,
+                                            dirichlet_mask=dmask)
+        self.nonzero_constraints = Constraints(self.n_dofs, hidx, hw, hmask,
+                                               dirichlet_mask=dmask,
+                                               dirichlet_values=dvals)
+        # per-block constraints for the Schur preconditioner sub-operators
+        usys = SystemSpace([(self.u_space, self.dim)])
+        uh_idx, uh_w, uh_mask = usys.hanging_tables()
+        self.u_constraints = Constraints(self.n_u, uh_idx, uh_w, uh_mask,
+                                         dirichlet_mask=dmask[:self.n_u])
+        psys = SystemSpace([(self.p_space, 1)])
+        ph_idx, ph_w, ph_mask = psys.hanging_tables()
+        self.p_constraints = Constraints(self.n_p, ph_idx, ph_w, ph_mask)
+
+    def _apply_initial_condition(self):
+        """reference: source/mpi_fluid_solver.cpp:367-414."""
+        x = np.zeros(self.n_dofs)
+        for d in range(self.dim):
+            x[d:self.n_u:self.dim] = np.asarray(
+                self.initial_condition(self.u_space.node_points, d))
+        x[self.n_u:] = np.asarray(
+            self.initial_condition(self.p_space.node_points, self.dim))
+        self.present_solution = jnp.asarray(x, dtype=real_dtype())
+
+    # ------------------------------------------------------------------
+    def _setup_stress_projection(self):
+        k = self.params.fluid_velocity_degree
+        qp, qw = gauss_quadrature(k + 1, self.dim)
+        N, _ = self.u_space.shapes.evaluate(qp)
+        Mref = np.einsum("qi,qj,q->ij", N, N, qw)
+        Q = (N * qw[:, None]).T
+        self.qpt_to_dof = np.linalg.solve(Mref, Q)
+        counts = np.zeros(self.u_space.n_nodes)
+        np.add.at(counts, self.u_space.cell_dofs.ravel(), 1.0)
+        self._scalar_counts = counts
+        self._qpt_to_dof_j = jnp.asarray(self.qpt_to_dof,
+                                         dtype=real_dtype())
+        self._scalar_counts_j = jnp.asarray(counts, dtype=real_dtype())
+
+    def velocity_gradients(self, solution):
+        """(n_c, n_q, dim, dim) velocity gradients at volume q points."""
+        d = self.dim
+        u = solution[:self.n_u].reshape(-1, d)
+        ul = u[self.u_space.cell_dofs]
+        return jnp.einsum("cqlx,cla->cqax", jnp.asarray(self.cv_u.grad), ul)
+
+    def update_stress(self):
+        """Nodal viscous stress tau = 2 mu grad^s(v), projected
+        quadrature->nodes and averaged (reference:
+        source/fluid_solver.cpp:324-414)."""
+        mu = self.params.viscosity
+        gradv = self.velocity_gradients(self.present_solution)
+        tau = mu * (gradv + jnp.swapaxes(gradv, 2, 3))
+        # project each component
+        cellwise = jnp.einsum("iq,cqab->ciab", self._qpt_to_dof_j, tau)
+        n_nodes = self.u_space.n_nodes
+        d = self.dim
+        out = jnp.zeros((n_nodes, d, d), dtype=tau.dtype).at[
+            jnp.asarray(self.u_space.cell_dofs).reshape(-1)].add(
+            cellwise.reshape(-1, d, d))
+        out = out / self._scalar_counts_j[:, None, None]
+        self.stress = np.asarray(out).transpose(1, 2, 0)
+
+    def get_current_solution(self):
+        return self.present_solution
+
+    def velocity_part(self, solution=None):
+        s = self.present_solution if solution is None else solution
+        return np.asarray(s[:self.n_u])
+
+    def pressure_part(self, solution=None):
+        s = self.present_solution if solution is None else solution
+        return np.asarray(s[self.n_u:])

@@ -1,0 +1,328 @@
+"""Implicit incompressible Navier-Stokes with Grad-Div stabilization (InsIM).
+
+Reference: include/insim.h, source/insim.cpp (serial) and
+include/mpi_insim.h, source/mpi_insim.cpp (weak form at
+source/mpi_insim.cpp:263-304).
+
+Scheme: backward Euler + Newton on (du, dp); each Newton system is solved by
+FGMRES with the Grad-Div block-Schur right preconditioner
+  P^-1 = [[A~^-1, -A~^-1 B^T S~^-1], [0, S~^-1]],
+  S~^-1 = -(nu + gamma rho) Mp^-1 - (rho/dt) (B diag(Mu)^-1 B^T)^-1
+(reference: source/insim.cpp:13-120).  The reference inverts the A-block
+with a sparse direct solver (UMFPACK/MUMPS); direct factorization has no
+efficient TPU mapping, so here A~^-1 is an inner Jacobi-preconditioned
+FGMRES run to a loose tolerance — the flexible outer Krylov absorbs the
+inexactness.  All operator applications are matrix-free batched element
+matmuls (MXU path); inner CG/FGMRES loops are lax.while_loops inside one
+jitted Newton-iteration kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...la.krylov import cg, fgmres
+from ...la.operators import (element_diag, element_matvec,
+                             element_matvec_rect, scatter_add)
+from .base import FluidSolverBase
+
+
+class InsIM(FluidSolverBase):
+    # inner-solver knobs (see class docstring; tuned for parity with the
+    # reference's preconditioner quality)
+    schur_cg_maxiter = 400
+    mp_cg_maxiter = 200
+    a_inner_restart = 50
+    a_inner_restarts = 4
+    a_inner_rtol = 1e-3
+    outer_restart = 30
+    outer_max_restarts = 40
+
+    def setup(self):
+        assert (self.params.fluid_velocity_degree -
+                self.params.fluid_pressure_degree) == 1, \
+            "Velocity degree must be one higher than pressure (Taylor-Hood)"
+        super().setup()
+        self._precompute()
+
+    # ------------------------------------------------------------------
+    def _precompute(self):
+        params = self.params
+        d = self.dim
+        rdt = real_dtype()
+        cvu, cvp = self.cv_u, self.cv_p
+        n_c, n_q, nlu, _ = cvu.grad.shape
+        nlp = cvp.N.shape[1]
+        self.nlu, self.nlp = nlu, nlp
+        self.nu_loc = nlu * d
+
+        self.Nu = jnp.asarray(cvu.N, dtype=rdt)          # (q, nlu)
+        self.Np = jnp.asarray(cvp.N, dtype=rdt)          # (q, nlp)
+        self.gu = jnp.asarray(cvu.grad, dtype=rdt)       # (c,q,nlu,d)
+        self.JxW = jnp.asarray(cvu.JxW, dtype=rdt)       # (c,q)
+
+        cd = self.sys.cell_dofs
+        self.cell_dofs = jnp.asarray(cd, dtype=jnp.int32)
+        self.cell_dofs_u = jnp.asarray(cd[:, :self.nu_loc], dtype=jnp.int32)
+        self.cell_dofs_p = jnp.asarray(cd[:, self.nu_loc:] - self.n_u,
+                                       dtype=jnp.int32)
+
+        # mass matrices for the preconditioner (no rho; reference
+        # source/insim.cpp:255-257)
+        Mu_s = np.einsum("qi,qj,cq->cij", cvu.N, cvu.N, cvu.JxW)
+        diag_mu = np.zeros(self.n_u)
+        dloc = np.einsum("cii->ci", Mu_s)
+        for a in range(d):
+            np.add.at(diag_mu, self.u_space.cell_dofs.ravel() * d + a,
+                      dloc.ravel())
+        self.Mu_diag = jnp.asarray(diag_mu, dtype=rdt)
+        Mp_loc = np.einsum("qi,qj,cq->cij", cvp.N, cvp.N, cvp.JxW)
+        self.Mp_loc = jnp.asarray(Mp_loc, dtype=rdt)
+        diag_mp = np.zeros(self.n_p)
+        np.add.at(diag_mp, self.p_space.cell_dofs.ravel(),
+                  np.einsum("cii->ci", Mp_loc).ravel())
+        self.Mp_diag = jnp.asarray(diag_mp, dtype=rdt)
+
+        # gravity / body force at q points
+        g = np.zeros(d)
+        g[:len(params.gravity)] = params.gravity[:d]
+        if self.body_force is not None:
+            xq = cvu.xq.reshape(-1, d)
+            bf = np.asarray(self.body_force(xq)).reshape(n_c, n_q, d)
+            self.gravity_q = jnp.asarray(bf + g, dtype=rdt)
+        else:
+            self.gravity_q = jnp.asarray(
+                np.broadcast_to(g, (n_c, n_q, d)).copy(), dtype=rdt)
+
+        # Neumann (pressure) boundary faces (reference:
+        # source/insim.cpp:288-319)
+        self._neumann_rhs_const = self._neumann_rhs()
+
+        self._newton_iter = jax.jit(self._newton_iter_impl)
+
+    def _neumann_rhs(self):
+        params = self.params
+        fv = self.fv_u
+        rhs = np.zeros(self.n_dofs)
+        if fv is None or params.n_fluid_neumann_bcs == 0:
+            return jnp.asarray(rhs, dtype=real_dtype())
+        d = self.dim
+        for i in range(len(fv.cells)):
+            bid = int(fv.boundary_id[i])
+            if bid not in params.fluid_neumann_bcs:
+                continue
+            pbc = params.fluid_neumann_bcs[bid]
+            # rhs[(l,a)] -= N_l n_a p_bc JxW
+            rl = -np.einsum("qi,qa,q->ia", fv.N[i], fv.normals[i],
+                            fv.JxW[i]) * pbc
+            c = int(fv.cells[i])
+            np.add.at(rhs, self.sys.cell_dofs[c][:self.nu_loc],
+                      rl.reshape(-1))
+        return jnp.asarray(rhs, dtype=real_dtype())
+
+    # ------------------------------------------------------------------
+    def _assemble(self, eval_pt, present, indicator, fsi_acc, fsi_stress):
+        """Element Newton matrix + rhs at evaluation point.
+
+        Weak form: reference source/mpi_insim.cpp:263-304."""
+        params = self.params
+        d = self.dim
+        nu_visc = params.viscosity
+        gamma = params.grad_div
+        rho = params.fluid_rho
+        dt = self.time.get_delta_t()
+        Nu, Np, gu, JxW = self.Nu, self.Np, self.gu, self.JxW
+        n_c = gu.shape[0]
+
+        u_eval = eval_pt[:self.n_u].reshape(-1, d)
+        ul = u_eval[self.u_space.cell_dofs]                  # (c,nlu,d)
+        p_eval = eval_pt[self.n_u:][self.p_space.cell_dofs]  # (c,nlp)
+        u_pres = present[:self.n_u].reshape(-1, d)
+        unl = u_pres[self.u_space.cell_dofs]
+
+        uc = jnp.einsum("ql,cla->cqa", Nu, ul)
+        guc = jnp.einsum("cqlx,cla->cqax", gu, ul)
+        pc = jnp.einsum("qn,cn->cq", Np, p_eval)
+        un = jnp.einsum("ql,cla->cqa", Nu, unl)
+        divu = jnp.trace(guc, axis1=2, axis2=3)
+
+        I = jnp.eye(d, dtype=eval_pt.dtype)
+        # scalar building blocks
+        NN = jnp.einsum("ql,qm,cq->clm", Nu, Nu, JxW)        # mass-like
+        gg = jnp.einsum("cqlx,cqmx,cq->clm", gu, gu, JxW)    # stiffness-like
+        g_uc = jnp.einsum("cqmx,cqx->cqm", gu, uc)
+        conv2 = jnp.einsum("ql,cqm,cq->clm", Nu, g_uc, JxW)
+
+        Auu = jnp.einsum("clm,ab->clamb", nu_visc * gg + rho * conv2, I)
+        Auu = Auu + rho * jnp.einsum("ql,qm,cqab,cq->clamb", Nu, Nu, guc, JxW)
+        Auu = Auu + (gamma * rho) * jnp.einsum("cqla,cqmb,cq->clamb",
+                                               gu, gu, JxW)
+        Auu = Auu + (rho / dt) * jnp.einsum("clm,ab->clamb", NN, I)
+        Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
+
+        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW).reshape(
+            n_c, self.nu_loc, nlp := self.nlp)
+        Apu = -jnp.einsum("qn,cqmb,cq->cnmb", Np, gu, JxW).reshape(
+            n_c, nlp, self.nu_loc)
+        App = jnp.zeros((n_c, nlp, nlp), dtype=eval_pt.dtype)
+
+        A_loc = jnp.concatenate([
+            jnp.concatenate([Auu, Aup], axis=2),
+            jnp.concatenate([Apu, App], axis=2)], axis=1)
+
+        # RHS (negative residual)
+        conv_c = jnp.einsum("cqax,cqx->cqa", guc, uc)
+        r_u = (-nu_visc * jnp.einsum("cqax,cqlx,cq->cla", guc, gu, JxW)
+               - rho * jnp.einsum("ql,cqa,cq->cla", Nu, conv_c, JxW)
+               + jnp.einsum("cq,cqla,cq->cla", pc, gu, JxW)
+               - (gamma * rho) * jnp.einsum("cq,cqla,cq->cla", divu, gu, JxW)
+               - (rho / dt) * jnp.einsum("ql,cqa,cq->cla", Nu, uc - un, JxW)
+               + rho * jnp.einsum("ql,cqa,cq->cla", Nu, self.gravity_q, JxW))
+        # FSI body force on artificial-fluid cells (reference:
+        # source/insim.cpp:277-284): grad(phi):sigma_fsi + a_fsi . phi
+        r_u = r_u + indicator[:, None, None] * (
+            jnp.einsum("cqla,cab,cq->clb", gu, fsi_stress, JxW) +
+            jnp.einsum("ql,ca,cq->cla", Nu, fsi_acc, JxW))
+        r_p = jnp.einsum("cq,qn,cq->cn", divu, Np, JxW)
+
+        r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
+        rhs = scatter_add(self.n_dofs, self.cell_dofs, r_loc)
+        rhs = rhs + self._neumann_rhs_const
+        return A_loc, rhs
+
+    # ------------------------------------------------------------------
+    def _make_preconditioner(self, A_loc):
+        """Grad-Div block-Schur right preconditioner (reference:
+        source/insim.cpp:55-120)."""
+        params = self.params
+        d = self.dim
+        gamma, rho = params.grad_div, params.fluid_rho
+        nu_visc = params.viscosity
+        dt = self.time.get_delta_t()
+        ucons, pcons = self.u_constraints, self.p_constraints
+
+        Auu = A_loc[:, :self.nu_loc, :self.nu_loc]
+        Aup = A_loc[:, :self.nu_loc, self.nu_loc:]
+        Apu = A_loc[:, self.nu_loc:, :self.nu_loc]
+
+        op_A = ucons.wrap_operator(lambda x: element_matvec(
+            Auu, self.cell_dofs_u, self.n_u, x))
+        diag_A = jnp.where(ucons.fixed, 1.0, element_diag(
+            Auu, self.cell_dofs_u, self.n_u))
+        dinv_A = jnp.where(diag_A != 0, 1.0 / diag_A, 1.0)
+
+        def apply_B(xu):   # u -> p   (condensed)
+            xu = ucons.expand(xu)
+            y = element_matvec_rect(Apu, self.cell_dofs_p, self.cell_dofs_u,
+                                    self.n_p, xu)
+            return pcons.restrict(y) if pcons.any_hanging else y
+
+        def apply_BT(xp):  # p -> u   (condensed)
+            xp = pcons.expand(xp) if pcons.any_hanging else xp
+            y = element_matvec_rect(Aup, self.cell_dofs_u, self.cell_dofs_p,
+                                    self.n_u, xp)
+            return ucons.restrict(y)
+
+        mu_inv = jnp.where(self.Mu_diag != 0, 1.0 / self.Mu_diag, 1.0)
+
+        def op_Sm(xp):
+            y = apply_B(mu_inv * apply_BT(xp))
+            return jnp.where(pcons.fixed, xp, y)
+
+        op_Mp = pcons.wrap_operator(lambda x: element_matvec(
+            self.Mp_loc, self.cell_dofs_p, self.n_p, x))
+        mp_dinv = jnp.where(self.Mp_diag != 0, 1.0 / self.Mp_diag, 1.0)
+
+        def precond(v):
+            vu, vp = v[:self.n_u], v[self.n_u:]
+            np_norm = jnp.linalg.norm(vp)
+            atol_p = jnp.maximum(1e-6 * np_norm, 1e-10)
+            tmp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
+                     maxiter=self.mp_cg_maxiter).x
+            tmp = tmp * (-(nu_visc + gamma * rho))
+            sm = cg(op_Sm, vp, atol=atol_p,
+                    maxiter=self.schur_cg_maxiter).x
+            dst_p = sm * (-rho / dt) + tmp
+            utmp = vu - apply_BT(dst_p)
+            atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
+            dst_u = fgmres(op_A, utmp, M=lambda r: r * dinv_A,
+                           atol=atol_u, restart=self.a_inner_restart,
+                           max_restarts=self.a_inner_restarts).x
+            return jnp.concatenate([dst_u, dst_p])
+
+        return precond
+
+    # ------------------------------------------------------------------
+    def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc,
+                          fsi_stress):
+        cons = self.zero_constraints
+        A_loc, rhs = self._assemble(eval_pt, present, indicator, fsi_acc,
+                                    fsi_stress)
+        b = cons.condense_rhs(rhs)
+        res_norm = jnp.linalg.norm(b)
+
+        op = cons.wrap_operator(lambda x: element_matvec(
+            A_loc, self.cell_dofs, self.n_dofs, x))
+        precond = self._make_preconditioner(A_loc)
+        atol = jnp.maximum(1e-8 * res_norm, 1e-10)
+        res = fgmres(op, b, M=precond, atol=atol,
+                     restart=self.outer_restart,
+                     max_restarts=self.outer_max_restarts)
+        du = cons.distribute(res.x)
+        return du, res_norm, res.iters, res.residual
+
+    # ------------------------------------------------------------------
+    def run_one_step(self, apply_nonzero_constraints: bool,
+                     assemble_system: bool = True, verbose: bool = True):
+        """reference: source/insim.cpp:370-459."""
+        params = self.params
+        self.time.increment()
+        if verbose:
+            print(f"*** Time step = {self.time.get_timestep()}, "
+                  f"at t = {self.time.current():.6e}")
+
+        eval_pt = self.present_solution
+        if apply_nonzero_constraints:
+            eval_pt = self.nonzero_constraints.distribute(eval_pt)
+
+        current_res = 1.0
+        initial_res = 1.0
+        rel_res = 1.0
+        it = 0
+        while rel_res > params.fluid_tolerance and current_res > 1e-11:
+            if it >= params.fluid_max_iterations:
+                raise RuntimeError("Too many Newton iterations!")
+            du, res_norm, gmres_iters, gmres_res = self._newton_iter(
+                eval_pt, self.present_solution, self.indicator,
+                self.fsi_acceleration, self.fsi_stress_cell)
+            current_res = float(res_norm)
+            eval_pt = eval_pt + du
+            if it == 0:
+                initial_res = max(current_res, 1e-300)
+            rel_res = current_res / initial_res
+            if verbose:
+                print(f" ITR = {it} ABS_RES = {current_res:.6e} "
+                      f"REL_RES = {rel_res:.6e} "
+                      f"GMRES_ITR = {int(gmres_iters)} "
+                      f"GMRES_RES = {float(gmres_res):.6e}")
+            it += 1
+        self.newton_iters = it
+        self.solution_increment = eval_pt - self.present_solution
+        self.present_solution = eval_pt
+        self.update_stress()
+
+    def run(self, verbose: bool = True):
+        """reference: source/insim.cpp:445-459."""
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            self.setup()
+        self.run_one_step(True, verbose=verbose)
+        while self.time.end() - self.time.current() > 1e-12:
+            self.run_one_step(False, verbose=verbose)

@@ -1,0 +1,55 @@
+"""Fluid solver tests: Poiseuille physics + truncated cavity + goldens."""
+
+import numpy as np
+import pytest
+
+from openifem_tpu.mesh import generators
+from openifem_tpu.parameters import AllParameters
+from openifem_tpu.solvers.fluid import InsIM
+
+REF = "/root/reference/tests"
+
+
+def _vmax(solver):
+    v = solver.velocity_part().reshape(-1, solver.dim)
+    return float(np.abs(v).max())
+
+
+def test_cavity_few_steps():
+    """Truncated fluid_cavity: lid-driven flow sanity after 5 steps."""
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.05  # 5 steps
+    p.global_refinements[0] = 3  # 8x8
+    mesh = generators.hyper_cube(0.0, 1.0, dim=2)
+    f = InsIM(mesh, p)
+    f.run(verbose=False)
+    u = f.velocity_part().reshape(-1, 2)
+    # lid velocity imposed (corner nodes get the side-wall value first, as
+    # in deal.II's first-constraint-wins semantics)
+    lid = f.u_space.boundary_nodes([3])
+    pts = f.u_space.node_points[lid]
+    interior_lid = lid[(pts[:, 0] > 1e-12) & (pts[:, 0] < 1 - 1e-12)]
+    assert np.allclose(u[interior_lid, 0], 1.0)
+    assert np.allclose(u[interior_lid, 1], 0.0)
+    # interior flow developed, bounded by lid speed
+    assert 0.01 < np.abs(u[:, 0][~np.isin(np.arange(len(u)), lid)]).max() <= 1.0
+    # incompressibility: mean divergence residual small
+    gradv = np.asarray(f.velocity_gradients(f.present_solution))
+    div = gradv[..., 0, 0] + gradv[..., 1, 1]
+    JxW = f.cv_u.JxW
+    assert abs((div * JxW).sum()) < 1e-8
+
+
+def test_fluid_pipe_poiseuille():
+    """fluid_pipe: inlet velocity 1 -> parabolic profile vmax = 1.5
+    (reference: tests/fluid_pipe/fluid_pipe.cpp:43-48), truncated in time and
+    coarsened to keep CI fast; the profile is established quickly."""
+    p = AllParameters.from_file(f"{REF}/fluid_pipe/fluid_pipe.prm")
+    L, D, h = 2.0, 0.2, 0.04
+    mesh = generators.subdivided_hyper_rectangle(
+        [int(L / h), int(D / h)], [0.0, 0.0], [L, D])
+    f = InsIM(mesh, p)
+    f.run(verbose=False)
+    v = f.velocity_part()
+    vmax = float(v.max())
+    assert abs(vmax - 1.5) / 1.5 < 1e-2
