@@ -294,6 +294,7 @@ class InsIM(FluidSolverBase):
         current_res = 1.0
         initial_res = 1.0
         rel_res = 1.0
+        prev_res = None
         it = 0
         while rel_res > params.fluid_tolerance and current_res > 1e-11:
             if it >= params.fluid_max_iterations:
@@ -302,6 +303,11 @@ class InsIM(FluidSolverBase):
                 eval_pt, self.present_solution, self.indicator,
                 self.fsi_acceleration, self.fsi_stress_cell)
             current_res = float(res_norm)
+            if (prev_res is not None and int(gmres_iters) == 0
+                    and current_res >= prev_res * (1 - 1e-12)):
+                # fully stagnated at machine-level residual
+                break
+            prev_res = current_res
             eval_pt = eval_pt + du
             if it == 0:
                 initial_res = max(current_res, 1e-300)

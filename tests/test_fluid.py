@@ -53,3 +53,33 @@ def test_fluid_pipe_poiseuille():
     v = f.velocity_part()
     vmax = float(v.max())
     assert abs(vmax - 1.5) / 1.5 < 1e-2
+
+
+def test_fluid_gravity_hydrostatic():
+    """fluid_gravity: one step, gravity along x -> pressure drop rho*g*L = 20
+    (reference: tests/fluid_gravity/fluid_gravity.cpp:35-42, rtol 1e-3)."""
+    p = AllParameters.from_file(f"{REF}/fluid_gravity/fluid_gravity.prm")
+    mesh = generators.subdivided_hyper_rectangle(
+        [100, 10], [0.0, 0.0], [2.0, 0.2])
+    f = InsIM(mesh, p)
+    f.run(verbose=False)
+    pr = f.pressure_part()
+    pdiff = float(pr.max() - pr.min())
+    assert abs(pdiff - 20.0) / 20.0 < 1e-3
+
+
+def test_fluid_pressure_driven():
+    """fluid_pressure_driven: Neumann inlet pressure 10 -> Poiseuille
+    vmax = dP D^2/(8 nu L) = 2.5e-2 (reference:
+    tests/fluid_pressure_driven/fluid_pressure_driven.cpp:41-45, rtol 1e-3).
+    Run without the extra global refinement: the parabolic solution is in the
+    Q2 space on any mesh."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_pressure_driven/fluid_pressure_driven.prm")
+    p.global_refinements[0] = 0
+    mesh = generators.subdivided_hyper_rectangle(
+        [100, 10], [0.0, 0.0], [2.0, 0.2])
+    f = InsIM(mesh, p)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    assert abs(vmax - 2.5e-2) / 2.5e-2 < 1e-3
