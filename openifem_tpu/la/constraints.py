@@ -11,6 +11,7 @@ back into the solution vector.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,3 +80,42 @@ class Constraints:
     def condense_rhs(self, r):
         r = self.restrict(r)
         return jnp.where(self.fixed, 0.0, r)
+
+    # -- pytree protocol (so Constraints can be a jit argument: FSI updates
+    # the Dirichlet set every step without retracing) -------------------
+    def tree_flatten(self):
+        children = (self.hang_idx, self.hang_w, self.hanging, self.dirichlet,
+                    self.dirichlet_values, self.fixed)
+        aux = (self.n_dofs, self.any_hanging)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.hang_idx, obj.hang_w, obj.hanging, obj.dirichlet,
+         obj.dirichlet_values, obj.fixed) = children
+        obj.n_dofs, obj.any_hanging = aux
+        return obj
+
+    def with_extra_dirichlet(self, mask, values):
+        """New Constraints with additional Dirichlet rows merged in; existing
+        constraints win (deal.II MergeConflictBehavior::left_object_wins,
+        reference: source/fsi.cpp:297-305)."""
+        mask = jnp.asarray(mask)
+        add = mask & ~self.fixed
+        new = Constraints.__new__(Constraints)
+        new.n_dofs = self.n_dofs
+        new.any_hanging = self.any_hanging
+        new.hang_idx = self.hang_idx
+        new.hang_w = self.hang_w
+        new.hanging = self.hanging
+        new.dirichlet = self.dirichlet | add
+        new.dirichlet_values = jnp.where(add, jnp.asarray(values),
+                                         self.dirichlet_values)
+        new.fixed = self.fixed | add
+        return new
+
+
+jax.tree_util.register_pytree_node(
+    Constraints, lambda c: c.tree_flatten(),
+    Constraints.tree_unflatten)

@@ -12,7 +12,8 @@ from typing import List, Sequence
 
 import numpy as np
 
-from .manifolds import (CylindricalManifold, PolarManifold, SphericalManifold)
+from .manifolds import (CylindricalManifold, PolarManifold,
+                        SphericalManifold, TransfiniteManifold)
 from .mesh import FACE_VERTICES, Mesh
 
 
@@ -145,7 +146,9 @@ def remove_cells(m: Mesh, mask: np.ndarray) -> Mesh:
                boundary_id=m.boundary_id[keep],
                face_manifold=m.face_manifold[keep],
                cell_manifold=m.cell_manifold[keep],
-               level=m.level[keep], manifolds=m.manifolds)
+               level=m.level[keep], manifolds=m.manifolds,
+               tfi=m.tfi, tfi_coarse=m.tfi_coarse[keep],
+               tfi_rect=m.tfi_rect[keep])
     # faces that lost their neighbor become boundary (id 0, deal.II default)
     fmap = out._face_map()
     fv = FACE_VERTICES[out.dim]
@@ -366,10 +369,12 @@ def flow_around_cylinder_2d(compute_in_2d: bool = True) -> Mesh:
     tol = min(min_line_length(result1), min_line_length(shell)) / 2.0
     m = merge_meshes(result1, shell, tol)
 
-    # manifolds: polar on the hole boundary, TFI-ish (flat) in shell cells
+    # manifolds: polar on the hole boundary, transfinite interpolation in
+    # the shell cells (reference: source/utilities.cpp:420-470)
     polar_id, tfi_id = 0, 1
     hole_center = np.array([0.2, 0.2])
-    m.manifolds[polar_id] = PolarManifold(hole_center)
+    polar = PolarManifold(hole_center)
+    m.manifolds[polar_id] = polar
     inner_vertex_ids = set()
     for c in range(m.n_cells):
         if m.material_id[c] == 2:
@@ -385,6 +390,17 @@ def flow_around_cylinder_2d(compute_in_2d: bool = True) -> Mesh:
     ids = sorted(inner_vertex_ids)
     ctr = m.vertices[ids].mean(axis=0)
     m.vertices[ids] += hole_center - ctr
+
+    # transfinite charts for the shell cells (after recentering)
+    tfi = TransfiniteManifold()
+    for c in range(m.n_cells):
+        if m.material_id[c] != 2:
+            continue
+        edge_manifolds = [polar if m.face_manifold[c, f] == polar_id else None
+                          for f in range(4)]
+        cid = tfi.add_cell(m.vertices[m.cells[c]], edge_manifolds)
+        m.tfi_coarse[c] = cid
+    m.tfi = tfi
     return m
 
 

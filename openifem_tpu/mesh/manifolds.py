@@ -65,6 +65,56 @@ class SphericalManifold:
         return self.center + rr * d / dn
 
 
+class TransfiniteCell:
+    """Transfinite-interpolation chart of one coarse quad cell.
+
+    Equivalent to deal.II TransfiniteInterpolationManifold restricted to a
+    single coarse cell: blends (possibly curved) edge parameterizations
+    into the interior:
+      X(xi,eta) = (1-eta) Eb(xi) + eta Et(xi) + (1-xi) El(eta) + xi Er(eta)
+                  - bilinear(corners).
+    Vertices are in z-order; edges follow the deal.II face order
+    [left(v0,v2), right(v1,v3), bottom(v0,v1), top(v2,v3)].
+    """
+
+    def __init__(self, verts, edge_manifolds):
+        self.verts = np.asarray(verts, dtype=np.float64)  # (4, 2)
+        self.edge_manifolds = edge_manifolds  # list of 4: Manifold or None
+
+    def _edge_point(self, face, t):
+        pairs = {0: (0, 2), 1: (1, 3), 2: (0, 1), 3: (2, 3)}
+        a, b = pairs[face]
+        pa, pb = self.verts[a], self.verts[b]
+        man = self.edge_manifolds[face]
+        if man is None or t == 0.0 or t == 1.0:
+            return (1 - t) * pa + t * pb
+        return man.new_point(np.array([pa, pb]), np.array([1 - t, t]))
+
+    def eval(self, xi, eta):
+        Eb = self._edge_point(2, xi)
+        Et = self._edge_point(3, xi)
+        El = self._edge_point(0, eta)
+        Er = self._edge_point(1, eta)
+        v = self.verts
+        bil = ((1 - xi) * (1 - eta) * v[0] + xi * (1 - eta) * v[1] +
+               (1 - xi) * eta * v[2] + xi * eta * v[3])
+        return (1 - eta) * Eb + eta * Et + (1 - xi) * El + xi * Er - bil
+
+
+class TransfiniteManifold:
+    """Collection of coarse-cell TFI charts, indexed by coarse id."""
+
+    def __init__(self):
+        self.cells = []
+
+    def add_cell(self, verts, edge_manifolds) -> int:
+        self.cells.append(TransfiniteCell(verts, edge_manifolds))
+        return len(self.cells) - 1
+
+    def eval(self, coarse_id: int, xi: float, eta: float):
+        return self.cells[coarse_id].eval(xi, eta)
+
+
 class CylindricalManifold:
     """3D cylindrical manifold along coordinate ``axis`` through origin."""
 

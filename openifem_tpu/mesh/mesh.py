@@ -51,6 +51,12 @@ class Mesh:
     cell_manifold: np.ndarray = None     # (n_c,) int32, -1 flat
     level: np.ndarray = None             # (n_c,) int32 refinement level
     manifolds: Dict[int, object] = field(default_factory=dict)
+    # transfinite-interpolation charts (deal.II TransfiniteInterpolation-
+    # Manifold analog): per-cell coarse chart id (-1 = none) and the cell's
+    # [xi0, eta0, xi1, eta1] sub-rectangle in that chart
+    tfi: object = None                   # TransfiniteManifold or None
+    tfi_coarse: np.ndarray = None        # (n_c,) int32
+    tfi_rect: np.ndarray = None          # (n_c, 4) float64
 
     def __post_init__(self):
         n_c = len(self.cells)
@@ -65,6 +71,11 @@ class Mesh:
             self.cell_manifold = np.full(n_c, FLAT_ID, dtype=np.int32)
         if self.level is None:
             self.level = np.zeros(n_c, dtype=np.int32)
+        if self.tfi_coarse is None:
+            self.tfi_coarse = np.full(n_c, -1, dtype=np.int32)
+        if self.tfi_rect is None:
+            self.tfi_rect = np.tile(
+                np.array([0.0, 0.0, 1.0, 1.0]), (n_c, 1))
         self.vertices = np.asarray(self.vertices, dtype=np.float64)
         self.cells = np.asarray(self.cells, dtype=np.int64)
 
@@ -191,8 +202,16 @@ class Mesh:
             verts.append(p)
             return new_vertex[key]
 
+        def point_at(key, p):
+            if key in new_vertex:
+                return new_vertex[key]
+            new_vertex[key] = len(verts)
+            verts.append(p)
+            return new_vertex[key]
+
         new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
             [], [], [], [], [], []
+        new_tfic, new_tfir = [], []
         for c in range(self.n_cells):
             v = self.cells[c]
             if not flags[c]:
@@ -202,17 +221,41 @@ class Mesh:
                 new_fman.append(list(self.face_manifold[c]))
                 new_cman.append(self.cell_manifold[c])
                 new_lvl.append(self.level[c])
+                new_tfic.append(self.tfi_coarse[c])
+                new_tfir.append(list(self.tfi_rect[c]))
                 continue
-            mb = midpoint(c, v[0], v[1])
-            mt = midpoint(c, v[2], v[3])
-            ml = midpoint(c, v[0], v[2])
-            mr = midpoint(c, v[1], v[3])
             cman = self.cell_manifold[c]
-            ctr_pts = np.array([verts[v[0]], verts[v[1]],
-                                verts[v[2]], verts[v[3]]])
-            cc = self._manifold(cman).new_point(ctr_pts)
-            ci = len(verts)
-            verts.append(cc)
+            cid = int(self.tfi_coarse[c])
+            if cid >= 0 and self.tfi is not None:
+                # transfinite chart of the coarse ancestor cell
+                xi0, eta0, xi1, eta1 = self.tfi_rect[c]
+                xm, em = 0.5 * (xi0 + xi1), 0.5 * (eta0 + eta1)
+                ev = lambda xi, eta: self.tfi.eval(cid, xi, eta)
+                mb = point_at(frozenset((int(v[0]), int(v[1]))),
+                              ev(xm, eta0))
+                mt = point_at(frozenset((int(v[2]), int(v[3]))),
+                              ev(xm, eta1))
+                ml = point_at(frozenset((int(v[0]), int(v[2]))),
+                              ev(xi0, em))
+                mr = point_at(frozenset((int(v[1]), int(v[3]))),
+                              ev(xi1, em))
+                ci = len(verts)
+                verts.append(ev(xm, em))
+                kid_rects = [[xi0, eta0, xm, em], [xm, eta0, xi1, em],
+                             [xi0, em, xm, eta1], [xm, em, xi1, eta1]]
+                kid_cids = [cid] * 4
+            else:
+                mb = midpoint(c, v[0], v[1])
+                mt = midpoint(c, v[2], v[3])
+                ml = midpoint(c, v[0], v[2])
+                mr = midpoint(c, v[1], v[3])
+                ctr_pts = np.array([verts[v[0]], verts[v[1]],
+                                    verts[v[2]], verts[v[3]]])
+                cc = self._manifold(cman).new_point(ctr_pts)
+                ci = len(verts)
+                verts.append(cc)
+                kid_rects = [[0.0, 0.0, 1.0, 1.0]] * 4
+                kid_cids = [-1] * 4
             b = self.boundary_id[c]
             fm = self.face_manifold[c]
             # children in z-order; faces [-x,+x,-y,+y]
@@ -226,13 +269,15 @@ class Mesh:
                 ([ci, mr, mt, v[3]], [-1, b[1], -1, b[3]],
                  [cman, fm[1], cman, fm[3]]),
             ]
-            for kc, kb, kf in kids:
+            for kk, (kc, kb, kf) in enumerate(kids):
                 new_cells.append(kc)
                 new_mat.append(self.material_id[c])
                 new_bnd.append(kb)
                 new_fman.append(kf)
                 new_cman.append(cman)
                 new_lvl.append(self.level[c] + 1)
+                new_tfic.append(kid_cids[kk])
+                new_tfir.append(kid_rects[kk])
 
         return Mesh(dim=2,
                     vertices=np.array(verts),
@@ -242,7 +287,10 @@ class Mesh:
                     face_manifold=np.array(new_fman, dtype=np.int32),
                     cell_manifold=np.array(new_cman, dtype=np.int32),
                     level=np.array(new_lvl, dtype=np.int32),
-                    manifolds=self.manifolds)
+                    manifolds=self.manifolds,
+                    tfi=self.tfi,
+                    tfi_coarse=np.array(new_tfic, dtype=np.int32),
+                    tfi_rect=np.array(new_tfir, dtype=np.float64))
 
     def _refine_3d(self, flags: np.ndarray) -> "Mesh":
         verts = list(self.vertices)

@@ -132,6 +132,15 @@ class FluidSolverBase:
         ph_idx, ph_w, ph_mask = psys.hanging_tables()
         self.p_constraints = Constraints(self.n_p, ph_idx, ph_w, ph_mask)
 
+    def _u_cons_of(self, cons):
+        """Velocity-block constraints matching a (possibly FSI-extended)
+        full-vector constraint set."""
+        if cons is self.zero_constraints:
+            return self.u_constraints
+        return self.u_constraints.with_extra_dirichlet(
+            cons.dirichlet[:self.n_u],
+            jnp.zeros(self.n_u, dtype=real_dtype()))
+
     def _apply_initial_condition(self):
         """reference: source/mpi_fluid_solver.cpp:367-414."""
         x = np.zeros(self.n_dofs)

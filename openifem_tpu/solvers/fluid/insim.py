@@ -197,7 +197,7 @@ class InsIM(FluidSolverBase):
         return A_loc, rhs
 
     # ------------------------------------------------------------------
-    def _make_preconditioner(self, A_loc):
+    def _make_preconditioner(self, A_loc, ucons, pcons):
         """Grad-Div block-Schur right preconditioner (reference:
         source/insim.cpp:55-120)."""
         params = self.params
@@ -205,7 +205,6 @@ class InsIM(FluidSolverBase):
         gamma, rho = params.grad_div, params.fluid_rho
         nu_visc = params.viscosity
         dt = self.time.get_delta_t()
-        ucons, pcons = self.u_constraints, self.p_constraints
 
         Auu = A_loc[:, :self.nu_loc, :self.nu_loc]
         Aup = A_loc[:, :self.nu_loc, self.nu_loc:]
@@ -260,8 +259,7 @@ class InsIM(FluidSolverBase):
 
     # ------------------------------------------------------------------
     def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc,
-                          fsi_stress):
-        cons = self.zero_constraints
+                          fsi_stress, cons, ucons, pcons):
         A_loc, rhs = self._assemble(eval_pt, present, indicator, fsi_acc,
                                     fsi_stress)
         b = cons.condense_rhs(rhs)
@@ -269,7 +267,7 @@ class InsIM(FluidSolverBase):
 
         op = cons.wrap_operator(lambda x: element_matvec(
             A_loc, self.cell_dofs, self.n_dofs, x))
-        precond = self._make_preconditioner(A_loc)
+        precond = self._make_preconditioner(A_loc, ucons, pcons)
         atol = jnp.maximum(1e-8 * res_norm, 1e-10)
         res = fgmres(op, b, M=precond, atol=atol,
                      restart=self.outer_restart,
@@ -279,9 +277,12 @@ class InsIM(FluidSolverBase):
 
     # ------------------------------------------------------------------
     def run_one_step(self, apply_nonzero_constraints: bool,
-                     assemble_system: bool = True, verbose: bool = True):
+                     assemble_system: bool = True, verbose: bool = True,
+                     zero_cons=None, nonzero_cons=None):
         """reference: source/insim.cpp:370-459."""
         params = self.params
+        zero_cons = zero_cons or self.zero_constraints
+        nonzero_cons = nonzero_cons or self.nonzero_constraints
         self.time.increment()
         if verbose:
             print(f"*** Time step = {self.time.get_timestep()}, "
@@ -289,7 +290,7 @@ class InsIM(FluidSolverBase):
 
         eval_pt = self.present_solution
         if apply_nonzero_constraints:
-            eval_pt = self.nonzero_constraints.distribute(eval_pt)
+            eval_pt = nonzero_cons.distribute(eval_pt)
 
         current_res = 1.0
         initial_res = 1.0
@@ -301,7 +302,8 @@ class InsIM(FluidSolverBase):
                 raise RuntimeError("Too many Newton iterations!")
             du, res_norm, gmres_iters, gmres_res = self._newton_iter(
                 eval_pt, self.present_solution, self.indicator,
-                self.fsi_acceleration, self.fsi_stress_cell)
+                self.fsi_acceleration, self.fsi_stress_cell,
+                zero_cons, self._u_cons_of(zero_cons), self.p_constraints)
             current_res = float(res_norm)
             if (prev_res is not None and int(gmres_iters) == 0
                     and current_res >= prev_res * (1 - 1e-12)):

@@ -104,3 +104,42 @@ def test_insimex_matches_insim_cavity():
     rel_l2 = float(np.linalg.norm(u1 - u2) / np.linalg.norm(u1))
     assert rel_l2 < 0.02
     assert float(np.abs(u1 - u2).max()) < 0.06
+
+
+def _cylinder_bv(points, component):
+    out = np.zeros(len(points))
+    if component == 0:
+        m = np.abs(points[:, 0]) < 1e-10
+        Umax = 0.3
+        out[m] = 4 * Umax * points[m, 1] * (0.41 - points[m, 1]) / 0.41 ** 2
+    return out
+
+
+@pytest.mark.slow
+def test_fluid_cylinder_golden():
+    """Turek flow-around-cylinder, Re=20: vmax/pmax goldens
+    (reference: tests/fluid_cylinder/fluid_cylinder.cpp:83-86, rtol 1e-3;
+    we match to ~1e-7)."""
+    p = AllParameters.from_file(f"{REF}/fluid_cylinder/fluid_cylinder.prm")
+    mesh = generators.flow_around_cylinder(2)
+    f = InsIM(mesh, p, bc=_cylinder_bv)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    pmax = float(f.pressure_part().max())
+    assert abs(vmax - 0.4064759) / 0.4064759 < 1e-3
+    assert abs(pmax - 0.1539404) / 0.1539404 < 1e-3
+
+
+@pytest.mark.slow
+def test_fluid_cylinder_insimex_golden():
+    """IMEX variant (reference: tests/fluid_cylinder_insimex/...cpp:83-84)."""
+    from openifem_tpu.solvers.fluid import InsIMEX
+    p = AllParameters.from_file(
+        f"{REF}/fluid_cylinder_insimex/fluid_cylinder_insimex.prm")
+    mesh = generators.flow_around_cylinder(2)
+    f = InsIMEX(mesh, p, bc=_cylinder_bv)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    pmax = float(f.pressure_part().max())
+    assert abs(vmax - 0.4081072) / 0.4081072 < 1e-3
+    assert abs(pmax - 0.1539) / 0.1539 < 1e-3
