@@ -1,0 +1,275 @@
+"""Immersed FSI coupling driver (serial semantics).
+
+Reference: include/fsi.h, source/fsi.cpp.  The mIFEM loop per step:
+  1. find_solid_bc: interpolate fluid stress -> solid boundary traction
+  2. advance the solid
+  3. update solid box + indicator field (fluid cells covered by solid)
+  4. find_fluid_bc: FSI body force (and/or Dirichlet velocity constraints
+     interpolated from the solid) on the artificial fluid
+  5. advance the fluid
+All geometric queries are batched JAX kernels (fsi/interp.py) instead of the
+reference's per-point cell walks."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..parameters import AllParameters
+from ..utils.timectl import Time
+from .interp import interpolate_nodal, locate_points, shape_values_jax
+
+
+class FSI:
+    def __init__(self, fluid, solid, params: AllParameters,
+                 use_dirichlet_bc: bool = False):
+        self.fluid = fluid
+        self.solid = solid
+        self.params = params
+        self.use_dirichlet_bc = use_dirichlet_bc
+        self.time = Time(params.end_time, params.time_step,
+                         params.output_interval, params.refinement_interval,
+                         params.save_interval)
+
+    # ------------------------------------------------------------------
+    def _setup_coupling(self):
+        """Precompute static coupling tables (device arrays)."""
+        fluid, solid = self.fluid, self.solid
+        d = fluid.dim
+        smesh = solid.mesh
+        self._solid_cells = jnp.asarray(smesh.cells, dtype=jnp.int32)
+        self._solid_ref_verts = jnp.asarray(smesh.vertices,
+                                            dtype=real_dtype())
+        self._n_sv = smesh.n_vertices
+
+        # fluid cell centers (vertex average, = deal.II cell->center())
+        self._fluid_centers = jnp.asarray(fluid.mesh.cell_centers(),
+                                          dtype=real_dtype())
+        self._fluid_u_points = jnp.asarray(fluid.u_space.node_points,
+                                           dtype=real_dtype())
+
+        # velocity support points eligible for FSI Dirichlet constraints:
+        # the reference constrains support points that lie on a zero-unit-
+        # coordinate face of some cell (reference: source/fsi.cpp:262-276),
+        # i.e. all vertex/edge nodes except cell bubbles and nodes only on
+        # the domain's +x/+y boundaries.
+        eligible = np.zeros(fluid.u_space.n_nodes, dtype=bool)
+        unit = fluid.u_space.shapes.local_nodes()
+        has_zero = (np.abs(unit) < 1e-5).any(axis=1)
+        for l in range(unit.shape[0]):
+            if has_zero[l]:
+                eligible[fluid.u_space.cell_dofs[:, l]] = True
+        self._u_node_eligible = jnp.asarray(eligible)
+
+        # solid boundary faces: endpoints (vertex ids) for moved-face
+        # geometry, aligned with solid.fv entries
+        fv = solid.fv
+        from ..mesh.mesh import FACE_VERTICES
+        face_verts = []
+        for c, f in zip(np.asarray(fv.cells), np.asarray(fv.faces)):
+            face_verts.append([int(smesh.cells[c, v])
+                               for v in FACE_VERTICES[d][f]])
+        self._solid_bface_verts = jnp.asarray(np.array(face_verts),
+                                              dtype=jnp.int32)
+        self._solid_bface_cells = jnp.asarray(np.asarray(fv.cells),
+                                              dtype=jnp.int32)
+
+        # fluid geometry for locating points (fluid mesh is static)
+        fverts = fluid.mesh.vertices
+        fcells = fluid.mesh.cells
+        self._fluid_cell_verts = jnp.asarray(fverts[fcells],
+                                             dtype=real_dtype())
+        self._fluid_bbox_lo = jnp.asarray(fverts[fcells].min(axis=1))
+        self._fluid_bbox_hi = jnp.asarray(fverts[fcells].max(axis=1))
+
+        self._kernels = _FSIKernels(self)
+
+    # ------------------------------------------------------------------
+    def _solid_moved_verts(self):
+        d = self.solid.dim
+        disp = self.solid.current_displacement[:self._n_sv * d].reshape(
+            self._n_sv, d)
+        return self._solid_ref_verts + disp
+
+    def update_solid_box_and_indicator(self):
+        """reference: source/fsi.cpp:64-165."""
+        k = self._kernels
+        moved = self._solid_moved_verts()
+        indicator = k.indicator(moved)
+        self.fluid.indicator = indicator.astype(real_dtype())
+
+    def find_fluid_bc(self):
+        """reference: source/fsi.cpp:168-310."""
+        fluid, solid = self.fluid, self.solid
+        d = fluid.dim
+        k = self._kernels
+        moved = self._solid_moved_verts()
+
+        if not self.use_dirichlet_bc:
+            acc = k.fsi_acceleration(moved, solid.current_acceleration,
+                                     fluid.indicator)
+            fluid.fsi_acceleration = acc
+            fluid.fsi_stress_cell = jnp.zeros_like(fluid.fsi_stress_cell)
+            return None, None
+        else:
+            fluid.fsi_acceleration = jnp.zeros_like(fluid.fsi_acceleration)
+            fluid.fsi_stress_cell = jnp.zeros_like(fluid.fsi_stress_cell)
+            mask_u, vals_u = k.dirichlet_bc(moved, solid.current_velocity)
+            n = fluid.n_dofs
+            mask = jnp.zeros(n, dtype=bool).at[:fluid.n_u].set(
+                mask_u.reshape(-1))
+            vals = jnp.zeros(n, dtype=real_dtype()).at[:fluid.n_u].set(
+                vals_u.reshape(-1))
+            zero_ext = fluid.zero_constraints.with_extra_dirichlet(
+                mask, jnp.zeros_like(vals))
+            nonzero_ext = fluid.nonzero_constraints.with_extra_dirichlet(
+                mask, vals)
+            return zero_ext, nonzero_ext
+
+    def find_solid_bc(self):
+        """Fluid stress -> solid boundary traction
+        (reference: source/fsi.cpp:313-382)."""
+        k = self._kernels
+        moved = self._solid_moved_verts()
+        traction = k.solid_traction(
+            moved, self.fluid.present_solution,
+            jnp.asarray(self.fluid.stress.transpose(2, 0, 1),
+                        dtype=real_dtype()))
+        self.solid.fsi_traction = traction
+
+    # ------------------------------------------------------------------
+    def run(self, verbose: bool = True):
+        """reference: source/fsi.cpp:459-516."""
+        params = self.params
+        self.solid.mesh = self.solid.mesh.refine_global(
+            params.global_refinements[1])
+        self.solid.setup()
+        self.fluid.mesh = self.fluid.mesh.refine_global(
+            params.global_refinements[0])
+        self.fluid.setup()
+        self._setup_coupling()
+
+        if verbose:
+            print(f"FSI: fluid cells/dofs [{self.fluid.mesh.n_cells}, "
+                  f"{self.fluid.n_dofs}], solid cells/dofs "
+                  f"[{self.solid.mesh.n_cells}, {self.solid.n_dofs}]")
+
+        first_step = True
+        while self.time.end() - self.time.current() > 1e-12:
+            self.find_solid_bc()
+            self.solid.run_one_step(first_step)
+            self.update_solid_box_and_indicator()
+            zero_ext, nonzero_ext = self.find_fluid_bc()
+            self.fluid.run_one_step(True, verbose=verbose,
+                                    zero_cons=zero_ext,
+                                    nonzero_cons=nonzero_ext)
+            first_step = False
+            self.time.increment()
+
+
+class _FSIKernels:
+    """Jitted coupling kernels bound to static mesh tables."""
+
+    def __init__(self, fsi: FSI):
+        fluid, solid = fsi.fluid, fsi.solid
+        d = fluid.dim
+        scell = fsi._solid_cells
+        sdeg = solid.params.solid_degree
+        s_space_dofs = jnp.asarray(solid.space.cell_dofs, dtype=jnp.int32)
+        u_space_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
+        n_sv = fsi._n_sv
+
+        def solid_geom(moved):
+            cv = moved[scell]
+            lo = cv.min(axis=1)
+            hi = cv.max(axis=1)
+            box_lo = moved.min(axis=0)
+            box_hi = moved.max(axis=0)
+            return cv, lo, hi, box_lo, box_hi
+
+        def points_in_solid(points, moved):
+            cv, lo, hi, box_lo, box_hi = solid_geom(moved)
+            idx, unit, found = locate_points(points, cv, lo, hi)
+            inbox = jnp.all((points >= box_lo) & (points <= box_hi), axis=-1)
+            return idx, unit, found & inbox
+
+        @jax.jit
+        def indicator(moved):
+            _, _, found = points_in_solid(fsi._fluid_centers, moved)
+            return found
+
+        @jax.jit
+        def fsi_acceleration(moved, solid_acc, indicator_field):
+            """(rho_s - rho_f)(g - a_s) at covered fluid cell centers
+            (reference: source/fsi.cpp:241-251)."""
+            idx, unit, found = points_in_solid(fsi._fluid_centers, moved)
+            acc_nodes = solid_acc.reshape(-1, d)
+            a_s = interpolate_nodal(acc_nodes, s_space_dofs, idx, unit,
+                                    sdeg, found)
+            g = jnp.zeros(d, dtype=moved.dtype)
+            g = g.at[:len(fsi.params.gravity)].set(
+                jnp.asarray(fsi.params.gravity[:d], dtype=moved.dtype))
+            acc = (fsi.params.solid_rho - fsi.params.fluid_rho) * (g - a_s)
+            return acc * indicator_field[:, None]
+
+        @jax.jit
+        def dirichlet_bc(moved, solid_vel):
+            """FSI velocity constraints at covered fluid support points
+            (reference: source/fsi.cpp:252-297)."""
+            pts = fsi._fluid_u_points
+            idx, unit, found = points_in_solid(pts, moved)
+            inside = found & fsi._u_node_eligible
+            v_nodes = solid_vel.reshape(-1, d)
+            v_s = interpolate_nodal(v_nodes, s_space_dofs, idx, unit, sdeg,
+                                    found)
+            mask = jnp.broadcast_to(inside[:, None], v_s.shape)
+            return mask, jnp.where(mask, v_s, 0.0)
+
+        fdeg = fluid.params.fluid_velocity_degree
+        bface = fsi._solid_bface_verts  # (n_bf, 2**(d-1)) vertex ids
+
+        @jax.jit
+        def solid_traction(moved, fluid_solution, fluid_stress_nodes):
+            """traction = (-p I + tau) n at moved solid boundary face
+            centers (reference: source/fsi.cpp:313-382).
+            fluid_stress_nodes: (n_scalar_nodes, d, d)."""
+            fverts = moved[bface]              # (n_bf, nfv, d)
+            centers = fverts.mean(axis=1)
+            # locate in the (static) fluid mesh
+            idx, unit, found = locate_points(
+                centers, fsi._fluid_cell_verts, fsi._fluid_bbox_lo,
+                fsi._fluid_bbox_hi)
+            u_nodes = fluid_solution[:fluid.n_u].reshape(-1, d)
+            p_nodes = fluid_solution[fluid.n_u:]
+            p_cell_dofs = jnp.asarray(fluid.p_space.cell_dofs,
+                                      dtype=jnp.int32)
+            p_val = interpolate_nodal(p_nodes, p_cell_dofs, idx, unit,
+                                      fluid.params.fluid_pressure_degree,
+                                      found)
+            tau = interpolate_nodal(fluid_stress_nodes, u_space_dofs, idx,
+                                    unit, fdeg, found)
+            I = jnp.eye(d, dtype=moved.dtype)
+            sigma = -p_val[:, None, None] * I + tau
+            # outward normal of the moved face
+            if d == 2:
+                t = fverts[:, 1] - fverts[:, 0]
+                n = jnp.stack([t[:, 1], -t[:, 0]], axis=-1)
+            else:
+                t1 = fverts[:, 1] - fverts[:, 0]
+                t2 = fverts[:, 2] - fverts[:, 0]
+                n = jnp.cross(t1, t2)
+            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+            # orient outward: away from the moved cell center
+            ccenters = moved[scell[fsi._solid_bface_cells]].mean(axis=1)
+            sign = jnp.sign(jnp.einsum("fd,fd->f", n, centers - ccenters))
+            n = n * jnp.where(sign == 0, 1.0, sign)[:, None]
+            return jnp.einsum("fab,fb->fa", sigma, n)
+
+        self.indicator = indicator
+        self.fsi_acceleration = fsi_acceleration
+        self.dirichlet_bc = dirichlet_bc
+        self.solid_traction = solid_traction

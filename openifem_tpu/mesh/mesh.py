@@ -186,10 +186,26 @@ class Mesh:
     def _refine_2d(self, flags: np.ndarray) -> "Mesh":
         verts = list(self.vertices)
         new_vertex: Dict[frozenset, int] = {}
+        # position lookup so refining next to an already-finer neighbor (or
+        # refining a 1-irregular mesh globally) reuses the hanging vertex
+        # instead of duplicating it
+        pos_lookup = {tuple(np.round(p, 12)): i
+                      for i, p in enumerate(self.vertices)}
 
         # map edge -> (cell, face) occurrences for manifold lookup: in 2D
         # edges ARE faces.
         edge_face_map = self._face_map()
+
+        def register(key, p):
+            pk = tuple(np.round(p, 12))
+            if pk in pos_lookup:
+                new_vertex[key] = pos_lookup[pk]
+                return pos_lookup[pk]
+            i = len(verts)
+            verts.append(p)
+            pos_lookup[pk] = i
+            new_vertex[key] = i
+            return i
 
         def midpoint(c, va, vb):
             key = frozenset((int(va), int(vb)))
@@ -198,16 +214,12 @@ class Mesh:
             mid = self._edge_manifold_id(c, (int(va), int(vb)), edge_face_map)
             p = self._manifold(mid).new_point(
                 np.array([verts[va], verts[vb]]))
-            new_vertex[key] = len(verts)
-            verts.append(p)
-            return new_vertex[key]
+            return register(key, p)
 
         def point_at(key, p):
             if key in new_vertex:
                 return new_vertex[key]
-            new_vertex[key] = len(verts)
-            verts.append(p)
-            return new_vertex[key]
+            return register(key, p)
 
         new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
             [], [], [], [], [], []
@@ -310,13 +322,22 @@ class Mesh:
                     edge_face_map.setdefault(
                         frozenset((vs[a], vs[b])), []).append((c, f))
 
+        pos_lookup = {tuple(np.round(p, 12)): i
+                      for i, p in enumerate(self.vertices)}
+
         def new_pt(key, points, mid):
             if key in new_vertex:
                 return new_vertex[key]
             p = self._manifold(mid).new_point(np.asarray(points))
-            new_vertex[key] = len(verts)
+            pk = tuple(np.round(p, 12))
+            if pk in pos_lookup:
+                new_vertex[key] = pos_lookup[pk]
+                return pos_lookup[pk]
+            i = len(verts)
             verts.append(p)
-            return new_vertex[key]
+            pos_lookup[pk] = i
+            new_vertex[key] = i
+            return i
 
         def edge_mid(c, va, vb):
             key = frozenset((int(va), int(vb)))

@@ -77,6 +77,16 @@ class SolidSolverBase:
         # serial reference stores per-face CellProperty fsi_traction)
         if self.fv is not None:
             self.fsi_traction = jnp.zeros((len(self.fv.cells), dim), dtype=dt)
+            # the linear solver skips Dirichlet faces when applying FSI
+            # traction (reference: source/linear_elasticity.cpp:147-152);
+            # the hyperelastic one does not (source/hyper_elasticity.cpp:449)
+            skip = getattr(self, "fsi_skip_dirichlet_faces", False)
+            mask = np.ones(len(self.fv.cells))
+            if skip:
+                for i, b in enumerate(np.asarray(self.fv.boundary_id)):
+                    if int(b) in params.solid_dirichlet_bcs:
+                        mask[i] = 0.0
+            self._fsi_face_mask = jnp.asarray(mask, dtype=dt)
         else:
             self.fsi_traction = None
 

@@ -109,7 +109,8 @@ class HyperElasticity(SolidSolverBase):
     def _external_traction_rhs(self):
         if self.params.simulation_type == "FSI":
             fv = self.fv
-            tq = jnp.broadcast_to(self.fsi_traction[:, None, :],
+            t = self.fsi_traction * self._fsi_face_mask[:, None]
+            tq = jnp.broadcast_to(t[:, None, :],
                                   (len(fv.cells), fv.JxW.shape[1], self.dim))
             return self.traction_rhs(tq)
         return self.traction_rhs(self._standalone_traction)

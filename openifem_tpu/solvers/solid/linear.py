@@ -24,6 +24,7 @@ from .materials import linear_elasticity_tensor
 
 
 class LinearElasticity(SolidSolverBase):
+    fsi_skip_dirichlet_faces = True
     def _assemble_constant(self):
         params = self.params
         d = self.dim
@@ -96,7 +97,8 @@ class LinearElasticity(SolidSolverBase):
         """External force F: gravity + traction (prescribed or FSI)."""
         if self.params.simulation_type == "FSI":
             fv = self.fv
-            tq = jnp.broadcast_to(self.fsi_traction[:, None, :],
+            t = self.fsi_traction * self._fsi_face_mask[:, None]
+            tq = jnp.broadcast_to(t[:, None, :],
                                   (len(fv.cells), fv.JxW.shape[1], self.dim))
             rhs = self.gravity_rhs + self.traction_rhs(tq)
         else:
