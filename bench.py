@@ -1,0 +1,66 @@
+"""Benchmark: fluid_cylinder (Turek Re=20) InsIM time-stepping throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's own headline record for this exact configuration —
+tests/fluid_cylinder/fluid_cylinder.cpp:7 reports ~240 s for the 100-step
+serial run (1 CPU rank), i.e. 100 * n_dofs / 240 DoF-steps/s on the same
+mesh/discretization.  We time steady-state steps (post-compile) of the same
+solve to the same Newton tolerance and report MDoF-steps/s.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cylinder/fluid_cylinder.prm")
+
+    def bv(points, component):
+        out = np.zeros(len(points))
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            Umax = 0.3
+            out[m] = 4 * Umax * points[m, 1] * (0.41 - points[m, 1]) / 0.41**2
+        return out
+
+    mesh = generators.flow_around_cylinder(2).refine_global(
+        p.global_refinements[0])
+    solver = InsIM(mesh, p, bc=bv)
+    solver.setup()
+    solver._setup_done = True
+    n_dofs = solver.n_dofs
+
+    warmup = 3
+    timed = 10
+    for _ in range(warmup):
+        solver.run_one_step(solver.time.get_timestep() == 0, verbose=False)
+    solver.present_solution.block_until_ready()
+    t0 = time.time()
+    for _ in range(timed):
+        solver.run_one_step(False, verbose=False)
+    solver.present_solution.block_until_ready()
+    elapsed = time.time() - t0
+
+    value = n_dofs * timed / elapsed / 1e6            # MDoF-steps/s
+    baseline = n_dofs * 100 / 240.0 / 1e6             # reference: 240 s/100 steps
+    print(json.dumps({
+        "metric": "fluid_cylinder_insim_throughput",
+        "value": round(value, 6),
+        "unit": "MDoF-steps/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

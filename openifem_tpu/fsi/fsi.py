@@ -136,9 +136,7 @@ class FSI:
         k = self._kernels
         moved = self._solid_moved_verts()
         traction = k.solid_traction(
-            moved, self.fluid.present_solution,
-            jnp.asarray(self.fluid.stress.transpose(2, 0, 1),
-                        dtype=real_dtype()))
+            moved, self.fluid.present_solution, self.fluid.stress_device)
         self.solid.fsi_traction = traction
 
     # ------------------------------------------------------------------

@@ -82,8 +82,9 @@ class FluidSolverBase:
         self.indicator = jnp.zeros(n_c, dtype=rdt)
         self.fsi_acceleration = jnp.zeros((n_c, dim), dtype=rdt)
         self.fsi_stress_cell = jnp.zeros((n_c, dim, dim), dtype=rdt)
-        # nodal viscous stress (dim, dim, n_scalar_nodes)
-        self.stress = np.zeros((dim, dim, self.u_space.n_nodes))
+        # nodal viscous stress, device-resident (n_scalar_nodes, dim, dim)
+        self.stress_device = jnp.zeros((self.u_space.n_nodes, dim, dim),
+                                       dtype=rdt)
         self._setup_done = True
 
     # ------------------------------------------------------------------
@@ -173,12 +174,9 @@ class FluidSolverBase:
         ul = u[self.u_space.cell_dofs]
         return jnp.einsum("cqlx,cla->cqax", jnp.asarray(self.cv_u.grad), ul)
 
-    def update_stress(self):
-        """Nodal viscous stress tau = 2 mu grad^s(v), projected
-        quadrature->nodes and averaged (reference:
-        source/fluid_solver.cpp:324-414)."""
+    def _update_stress_impl(self, solution):
         mu = self.params.viscosity
-        gradv = self.velocity_gradients(self.present_solution)
+        gradv = self.velocity_gradients(solution)
         tau = mu * (gradv + jnp.swapaxes(gradv, 2, 3))
         # project each component
         cellwise = jnp.einsum("iq,cqab->ciab", self._qpt_to_dof_j, tau)
@@ -187,8 +185,20 @@ class FluidSolverBase:
         out = jnp.zeros((n_nodes, d, d), dtype=tau.dtype).at[
             jnp.asarray(self.u_space.cell_dofs).reshape(-1)].add(
             cellwise.reshape(-1, d, d))
-        out = out / self._scalar_counts_j[:, None, None]
-        self.stress = np.asarray(out).transpose(1, 2, 0)
+        return out / self._scalar_counts_j[:, None, None]
+
+    def update_stress(self):
+        """Nodal viscous stress tau = 2 mu grad^s(v), projected
+        quadrature->nodes and averaged (reference:
+        source/fluid_solver.cpp:324-414).  Kept on device; use `stress` for
+        a host copy in the reference's (dim, dim, n_nodes) layout."""
+        if not hasattr(self, "_update_stress_jit"):
+            self._update_stress_jit = jax.jit(self._update_stress_impl)
+        self.stress_device = self._update_stress_jit(self.present_solution)
+
+    @property
+    def stress(self):
+        return np.asarray(self.stress_device).transpose(1, 2, 0)
 
     def get_current_solution(self):
         return self.present_solution
