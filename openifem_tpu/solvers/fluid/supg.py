@@ -1,0 +1,609 @@
+"""SUPG/PSPG/LSIC-stabilized fluid solvers: SUPGInsIM and SCnsIM.
+
+Reference: include/mpi_supg_solver.h, source/mpi_supg_solver.cpp (Newton
+driver + Washio incomplete-Schur preconditioner, citing Washio et al. CMAME
+194 (2005) 4027), source/mpi_insim_supg.cpp (incompressible SUPG assembly),
+source/mpi_scnsim.cpp (slightly-compressible assembly with isentropic
+continuity, PML attenuation and artificial-solid handling).
+
+Equal-order-friendly stabilization with Tezduyar UGN parameters:
+  h = 2|u| / sum_a |u . grad N_a|   (over the reference's first
+      dofs_per_cell / dofs_per_vertex system shape functions)
+  tau_SUPG = ((2/dt)^2 + (2|u|/h)^2 + (4 nu/h^2)^2)^(-1/2)
+  tau_PSPG = tau_SUPG / rho,  tau_LSIC = (h/2)|u| z(Re_local)
+
+Preconditioner (BlockIncompSchurPreconditioner): Pvv = ILU(0) of Avv in the
+reference -> Jacobi here (pointwise, TPU-native); Tpp = App - Apv Pvv^-1 Avp
+applied matrix-free; Tpp^-1 by inner GMRES(200) at rtol 1e-3 preconditioned
+with (diagonal of) B2pp = App - Apv rowsum(|Avv|)^-1 Avp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...la.krylov import cg, fgmres
+from ...la.operators import (element_diag, element_matvec,
+                             element_matvec_rect, scatter_add)
+from .base import FluidSolverBase
+
+CP_TO_CV = 1.4          # reference: source/mpi_scnsim.cpp:124
+ATM = 1013250.0         # reference: source/mpi_scnsim.cpp:125
+KAPPA_S = 1e4           # reference: source/mpi_scnsim.cpp:126
+
+
+class SUPGFluidSolver(FluidSolverBase):
+    """Shared Newton loop + incomplete-Schur solve for the SUPG family."""
+
+    tpp_restart = 200
+    tpp_max_restarts = 2
+    outer_restart = 30
+    outer_max_restarts = 40
+
+    def setup(self):
+        super().setup()
+        self._precompute()
+
+    # ------------------------------------------------------------------
+    def _precompute(self):
+        params = self.params
+        d = self.dim
+        rdt = real_dtype()
+        cvu, cvp = self.cv_u, self.cv_p
+        n_c, n_q, nlu, _ = cvu.grad.shape
+        nlp = cvp.N.shape[1]
+        self.nlu, self.nlp = nlu, nlp
+        self.nu_loc = nlu * d
+
+        self.Nu = jnp.asarray(cvu.N, dtype=rdt)
+        self.Np = jnp.asarray(cvp.N, dtype=rdt)
+        self.gu = jnp.asarray(cvu.grad, dtype=rdt)
+        self.gp = jnp.asarray(cvp.grad, dtype=rdt)
+        self.JxW = jnp.asarray(cvu.JxW, dtype=rdt)
+
+        cd = self.sys.cell_dofs
+        self.cell_dofs = jnp.asarray(cd, dtype=jnp.int32)
+        self.cell_dofs_u = jnp.asarray(cd[:, :self.nu_loc], dtype=jnp.int32)
+        self.cell_dofs_p = jnp.asarray(cd[:, self.nu_loc:] - self.n_u,
+                                       dtype=jnp.int32)
+
+        g = np.zeros(d)
+        g[:len(params.gravity)] = params.gravity[:d]
+        if self.body_force is not None:
+            xq = cvu.xq.reshape(-1, d)
+            bf = np.asarray(self.body_force(xq)).reshape(n_c, n_q, d)
+            self.gravity_q = jnp.asarray(bf + g, dtype=rdt)
+        else:
+            self.gravity_q = jnp.asarray(
+                np.broadcast_to(g, (n_c, n_q, d)).copy(), dtype=rdt)
+
+        # PML attenuation field at q points (set_sigma_pml_field analog,
+        # reference: source/mpi_fluid_solver.cpp:93-103)
+        if getattr(self, "sigma_pml_field", None) is not None:
+            xq = cvu.xq.reshape(-1, d)
+            s = np.asarray(self.sigma_pml_field(xq)).reshape(n_c, n_q)
+            self.sigma_pml_q = jnp.asarray(s, dtype=rdt)
+        else:
+            self.sigma_pml_q = jnp.zeros((n_c, n_q), dtype=rdt)
+
+        self._neumann_rhs_const = self._neumann_rhs()
+
+        # vertex shape-gradient selection for the reference's h heuristic:
+        # the sum runs over the first dofs_per_cell/dofs_per_vertex SYSTEM
+        # shape functions in deal.II local order (vertex-major, per vertex
+        # [u_x .. u_z, p]) (reference: source/mpi_insim_supg.cpp:130-141)
+        def vertex_local_index(degree, v):
+            k, n1 = degree, degree + 1
+            bits = [(v >> b) & 1 for b in range(d)]
+            return sum(bits[b] * k * n1 ** b for b in range(d))
+
+        dofs_per_cell = nlu * d + nlp
+        dofs_per_vertex = d + 1
+        K = dofs_per_cell // dofs_per_vertex
+        seq = []
+        for v in range(2 ** d):
+            lu = vertex_local_index(params.fluid_velocity_degree, v)
+            lp = vertex_local_index(params.fluid_pressure_degree, v)
+            seq.extend([(lu, "u")] * d)
+            seq.append((lp, "p"))
+        from collections import Counter
+        cnt = Counter(seq[:K])
+        self._h_terms = [(l, float(w), kind) for (l, kind), w in cnt.items()]
+
+        # nodal FSI fields (MPI-style coupling; zero by default)
+        self.fsi_acc_nodal = jnp.zeros((self.u_space.n_nodes, d), dtype=rdt)
+        self.fsi_stress_nodal = jnp.zeros((self.u_space.n_nodes, d, d),
+                                          dtype=rdt)
+
+        self._newton_iter = jax.jit(self._newton_iter_impl)
+
+    def set_sigma_pml_field(self, fn):
+        """reference: source/mpi_fluid_solver.cpp:93-103 (must be called
+        before setup)."""
+        self.sigma_pml_field = fn
+
+    def _neumann_rhs(self):
+        params = self.params
+        fv = self.fv_u
+        rhs = np.zeros(self.n_dofs)
+        if fv is None or params.n_fluid_neumann_bcs == 0:
+            return jnp.asarray(rhs, dtype=real_dtype())
+        for i in range(len(fv.cells)):
+            bid = int(fv.boundary_id[i])
+            if bid not in params.fluid_neumann_bcs:
+                continue
+            pbc = params.fluid_neumann_bcs[bid]
+            rl = -np.einsum("qi,qa,q->ia", fv.N[i], fv.normals[i],
+                            fv.JxW[i]) * pbc
+            c = int(fv.cells[i])
+            np.add.at(rhs, self.sys.cell_dofs[c][:self.nu_loc],
+                      rl.reshape(-1))
+        return jnp.asarray(rhs, dtype=real_dtype())
+
+    # ------------------------------------------------------------------
+    def _stab_parameters(self, un, viscosity_q, rho_q):
+        """tau_SUPG/PSPG/LSIC at q points from the present velocity."""
+        dt = self.time.get_delta_t()
+        h_sum = 0.0
+        for (l, w, kind) in self._h_terms:
+            gq = self.gu[:, :, l, :] if kind == "u" else self.gp[:, :, l, :]
+            h_sum = h_sum + w * jnp.abs(jnp.einsum("cqx,cqx->cq", un, gq))
+        v_norm = jnp.linalg.norm(un, axis=-1)
+        h = jnp.where(h_sum > 0, 2 * v_norm / jnp.where(h_sum > 0, h_sum,
+                                                        1.0), 0.0)
+        nu = viscosity_q / rho_q
+        safe_h = jnp.where(h > 0, h, 1.0)
+        tau = 1.0 / jnp.sqrt((2 / dt) ** 2 + (2 * v_norm / safe_h) ** 2 +
+                             (4 * nu / safe_h ** 2) ** 2)
+        tau_supg = jnp.where(h > 0, tau, dt / 2)
+        tau_pspg = tau_supg / rho_q
+        local_re = v_norm * h / (2 * nu)
+        z = jnp.where(local_re <= 3, local_re / 3, 1.0)
+        tau_lsic = h / 2 * v_norm * z
+        return tau_supg, tau_pspg, tau_lsic
+
+    # ------------------------------------------------------------------
+    def _make_preconditioner(self, A_loc, ucons, pcons):
+        """Washio incomplete-Schur ("Tpp") preconditioner
+        (reference: source/mpi_supg_solver.cpp:7-198)."""
+        Avv = A_loc[:, :self.nu_loc, :self.nu_loc]
+        Avp = A_loc[:, :self.nu_loc, self.nu_loc:]
+        Apv = A_loc[:, self.nu_loc:, :self.nu_loc]
+        App = A_loc[:, self.nu_loc:, self.nu_loc:]
+
+        diag_Avv = jnp.where(ucons.fixed, 1.0, element_diag(
+            Avv, self.cell_dofs_u, self.n_u))
+        pvv_inv = jnp.where(diag_Avv != 0, 1.0 / diag_Avv, 1.0)
+
+        def Pvv_inverse(x):
+            return x * pvv_inv
+
+        def apply_Avp(xp):
+            xp = pcons.expand(xp) if pcons.any_hanging else xp
+            y = element_matvec_rect(Avp, self.cell_dofs_u, self.cell_dofs_p,
+                                    self.n_u, xp)
+            return ucons.restrict(y)
+
+        def apply_Apv(xu):
+            xu = ucons.expand(xu)
+            y = element_matvec_rect(Apv, self.cell_dofs_p, self.cell_dofs_u,
+                                    self.n_p, xu)
+            return pcons.restrict(y) if pcons.any_hanging else y
+
+        op_App = pcons.wrap_operator(lambda x: element_matvec(
+            App, self.cell_dofs_p, self.n_p, x))
+
+        def Tpp(xp):
+            y = op_App(xp) - apply_Apv(Pvv_inverse(apply_Avp(xp)))
+            return jnp.where(pcons.fixed, xp, y)
+
+        # Jacobi approximation of B2pp = App - Apv rowsum(|Avv|)^-1 Avp:
+        # cell-local contribution to the product's diagonal (the reference
+        # builds the full matrix and takes ILU(0); a diagonal surrogate is
+        # the TPU-native analog)
+        rowsum_loc = jnp.abs(Avv).sum(axis=2)
+        rowsum = scatter_add(self.n_u, self.cell_dofs_u, rowsum_loc)
+        rinv = jnp.where(rowsum != 0, 1.0 / rowsum, 1.0)
+        rinv_loc = rinv[self.cell_dofs_u]
+        prod_diag_loc = jnp.einsum("cnk,ck,ckn->cn", Apv, rinv_loc, Avp)
+        diag_App = element_diag(App, self.cell_dofs_p, self.n_p)
+        b2pp_diag = diag_App - scatter_add(self.n_p, self.cell_dofs_p,
+                                           prod_diag_loc)
+        b2pp_diag = jnp.where(pcons.fixed, 1.0, b2pp_diag)
+        b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
+                             1.0)
+
+        def precond(v):
+            vu, vp = v[:self.n_u], v[self.n_u:]
+            ptmp = vp - apply_Apv(Pvv_inverse(vu))
+            # initial guess (reference: source/mpi_supg_solver.cpp:163-171)
+            c = ptmp
+            Sc = Tpp(c)
+            denom = jnp.vdot(Sc, c)
+            alpha = jnp.where(denom != 0, jnp.vdot(ptmp, c) / denom, 0.0)
+            x0 = alpha * c
+            atol = 1e-3 * jnp.linalg.norm(ptmp)
+            dst_p = fgmres(Tpp, ptmp, x0=x0, M=lambda r: r * b2pp_inv,
+                           atol=atol, restart=self.tpp_restart,
+                           max_restarts=self.tpp_max_restarts).x
+            dst_u = Pvv_inverse(vu) - Pvv_inverse(apply_Avp(dst_p))
+            return jnp.concatenate([dst_u, dst_p])
+
+        return precond
+
+    # ------------------------------------------------------------------
+    def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc_nodal,
+                          fsi_stress_nodal, stress_nodal, eddy_nu, cons,
+                          ucons, pcons):
+        A_loc, rhs = self._assemble(eval_pt, present, indicator,
+                                    fsi_acc_nodal, fsi_stress_nodal,
+                                    stress_nodal, eddy_nu)
+        b = cons.condense_rhs(rhs)
+        res_norm = jnp.linalg.norm(b)
+        op = cons.wrap_operator(lambda x: element_matvec(
+            A_loc, self.cell_dofs, self.n_dofs, x))
+        precond = self._make_preconditioner(A_loc, ucons, pcons)
+        atol = 1e-6 * res_norm
+        res = fgmres(op, b, M=precond, atol=atol,
+                     restart=self.outer_restart,
+                     max_restarts=self.outer_max_restarts)
+        du = cons.distribute(res.x)
+        return du, res_norm, res.iters, res.residual
+
+    def run_one_step(self, apply_nonzero_constraints: bool,
+                     assemble_system: bool = True, verbose: bool = True,
+                     zero_cons=None, nonzero_cons=None):
+        """reference: source/mpi_supg_solver.cpp:330-425."""
+        params = self.params
+        zero_cons = zero_cons or self.zero_constraints
+        nonzero_cons = nonzero_cons or self.nonzero_constraints
+        self.time.increment()
+        if verbose:
+            print(f"*** Time step = {self.time.get_timestep()}, "
+                  f"at t = {self.time.current():.6e}")
+
+        eval_pt = self.present_solution
+        if apply_nonzero_constraints:
+            eval_pt = nonzero_cons.distribute(eval_pt)
+
+        eddy = getattr(self, "eddy_viscosity_nodal", None)
+        if eddy is None:
+            eddy = jnp.zeros(self.u_space.n_nodes, dtype=real_dtype())
+
+        current_res = 1.0
+        initial_res = 1.0
+        rel_res = 1.0
+        prev_res = None
+        it = 0
+        while rel_res > params.fluid_tolerance and current_res > 1e-14:
+            if it >= params.fluid_max_iterations:
+                raise RuntimeError("Too many Newton iterations!")
+            du, res_norm, iters, gres = self._newton_iter(
+                eval_pt, self.present_solution, self.indicator,
+                self.fsi_acc_nodal, self.fsi_stress_nodal,
+                self.stress_device, eddy, zero_cons,
+                self._u_cons_of(zero_cons), self.p_constraints)
+            current_res = float(res_norm)
+            if (prev_res is not None and int(iters) == 0
+                    and current_res >= prev_res * (1 - 1e-12)):
+                break
+            prev_res = current_res
+            eval_pt = eval_pt + du
+            if it == 0:
+                initial_res = max(current_res, 1e-300)
+            rel_res = current_res / initial_res
+            if verbose:
+                print(f" ITR = {it} ABS_RES = {current_res:.6e} "
+                      f"REL_RES = {rel_res:.6e} GMRES_ITR = {int(iters)} "
+                      f"GMRES_RES = {float(gres):.6e}")
+            it += 1
+        self.newton_iters = it
+        self.solution_increment = eval_pt - self.present_solution
+        self.present_solution = eval_pt
+        self.update_stress()
+
+    def run(self, verbose: bool = True):
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            self.setup()
+        self.run_one_step(True, verbose=verbose)
+        while self.time.end() - self.time.current() > 1e-12:
+            self.run_one_step(False, verbose=verbose)
+
+    # ------------------------------------------------------------------
+    def _fields_at_q(self, eval_pt, present):
+        d = self.dim
+        Nu, Np, gu, gp = self.Nu, self.Np, self.gu, self.gp
+        ul = eval_pt[:self.n_u].reshape(-1, d)[self.u_space.cell_dofs]
+        pl = eval_pt[self.n_u:][self.p_space.cell_dofs]
+        unl = present[:self.n_u].reshape(-1, d)[self.u_space.cell_dofs]
+        pnl = present[self.n_u:][self.p_space.cell_dofs]
+        uc = jnp.einsum("ql,cla->cqa", Nu, ul)
+        G = jnp.einsum("cqlx,cla->cqax", gu, ul)
+        pc = jnp.einsum("qn,cn->cq", Np, pl)
+        gpc = jnp.einsum("cqnx,cn->cqx", gp, pl)
+        un = jnp.einsum("ql,cla->cqa", Nu, unl)
+        pn = jnp.einsum("qn,cn->cq", Np, pnl)
+        return uc, G, pc, gpc, un, pn
+
+
+class SUPGInsIM(SUPGFluidSolver):
+    """Incompressible SUPG/PSPG/LSIC solver
+    (reference: source/mpi_insim_supg.cpp:14-330)."""
+
+    def _assemble(self, eval_pt, present, indicator, fsi_acc_nodal,
+                  fsi_stress_nodal, stress_nodal, eddy_nu):
+        params = self.params
+        d = self.dim
+        rho = params.fluid_rho
+        mu = params.viscosity
+        dt = self.time.get_delta_t()
+        Nu, Np, gu, gp, JxW = self.Nu, self.Np, self.gu, self.gp, self.JxW
+        n_c, n_q = JxW.shape
+        nlu, nlp = self.nlu, self.nlp
+        I = jnp.eye(d, dtype=eval_pt.dtype)
+
+        uc, G, pc, gpc, un, pn = self._fields_at_q(eval_pt, present)
+        divu = jnp.trace(G, axis1=2, axis2=3)
+        bf = self.gravity_q  # gravity + body force
+
+        ones = jnp.ones((n_c, n_q), dtype=eval_pt.dtype)
+        tau_s, tau_p, tau_l = self._stab_parameters(un, mu * ones, rho * ones)
+
+        # NOTE deal.II tensor conventions (replicated verbatim from the
+        # reference):
+        #   u * grad_phi_u[i]  contracts the COMPONENT index ->  u[a] grad N_l
+        #   u * G (in the SUPG residual) = (grad u)^T u,
+        # while the Galerkin convection uses G * u = (u . grad) u.
+        ug = jnp.einsum("cqx,cqlx->cql", uc, gu)     # grad N_l . u
+        uTG = jnp.einsum("cqa,cqax->cqx", uc, G)     # (grad u)^T u
+        Gu = jnp.einsum("cqax,cqx->cqa", G, uc)      # (u . grad) u
+        glgm = jnp.einsum("cqlx,cqmx->cqlm", gu, gu)
+        accel = (uc - un) / dt
+        w_s = tau_s * JxW
+        w_p = tau_p * JxW
+
+        # ---------------- Auu -------------------------------------------
+        gg = jnp.einsum("cqlx,cqmx,cq->clm", gu, gu, JxW)
+        NN = jnp.einsum("ql,qm,cq->clm", Nu, Nu, JxW)
+        conv2 = jnp.einsum("ql,cqm,cq->clm", Nu, ug, JxW)
+        Auu = jnp.einsum("clm,ab->clamb",
+                         mu * gg + rho * conv2 + (rho / dt) * NN, I)
+        Auu = Auu + rho * jnp.einsum("ql,qm,cqab,cq->clamb", Nu, Nu, G, JxW)
+        # SUPG: test vector u[a] grad N_l
+        Auu = Auu + rho * jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", w_s, uc,
+                                     Nu, gu, G)
+        Auu = Auu + rho * jnp.einsum("cq,cqa,cqb,cqlm->clamb", w_s, uc, uc,
+                                     glgm)
+        Auu = Auu + rho * jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu,
+                                     uTG, I)
+        Auu = Auu + (rho / dt) * jnp.einsum("cq,cqa,cqlb,qm->clamb", w_s, uc,
+                                            gu, Nu)
+        Auu = Auu + (rho / dt) * jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s,
+                                            Nu, gu, uc - un, I)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu, gpc,
+                               I)
+        Auu = Auu - rho * jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu,
+                                     bf, I)
+        # LSIC
+        Auu = Auu + rho * jnp.einsum("cq,cqla,cqmb->clamb", tau_l * JxW, gu,
+                                     gu)
+        Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
+
+        # ---------------- Aup -------------------------------------------
+        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW)
+        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", w_s, uc, gu, gp)
+        Aup = Aup.reshape(n_c, self.nu_loc, nlp)
+
+        # ---------------- Apu -------------------------------------------
+        Apu = jnp.einsum("qn,cqmb,cq->cnmb", Np, gu, JxW)  # +continuity
+        Apu = Apu + rho * jnp.einsum("cq,cqnx,qm,cqbx->cnmb", w_p, gp, Nu, G)
+        Apu = Apu + rho * jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", w_p, uc, gp,
+                                     gu)
+        Apu = Apu + (rho / dt) * jnp.einsum("cq,cqnb,qm->cnmb", w_p, gp, Nu)
+        Apu = Apu.reshape(n_c, nlp, self.nu_loc)
+
+        # ---------------- App -------------------------------------------
+        App = jnp.einsum("cq,cqnx,cqox->cno", w_p, gp, gp)
+
+        A_loc = jnp.concatenate([
+            jnp.concatenate([Auu, Aup], axis=2),
+            jnp.concatenate([Apu, App], axis=2)], axis=1)
+
+        # ---------------- RHS -------------------------------------------
+        mom_res = rho * (accel + uTG) + gpc - rho * bf  # SUPG strong residual
+        r_u = (-mu * jnp.einsum("cqax,cqlx,cq->cla", G, gu, JxW)
+               - rho * jnp.einsum("ql,cqa,cq->cla", Nu, Gu, JxW)
+               + jnp.einsum("cq,cqla,cq->cla", pc, gu, JxW)
+               - rho * jnp.einsum("ql,cqa,cq->cla", Nu, accel, JxW)
+               + rho * jnp.einsum("ql,cqa,cq->cla", Nu, bf, JxW))
+        r_u = r_u - jnp.einsum("cq,cqa,cqlx,cqx->cla", w_s, uc, gu, mom_res)
+        r_u = r_u - rho * jnp.einsum("cq,cqla,cq->cla", tau_l * JxW, gu,
+                                     divu)
+        r_p = -jnp.einsum("cq,qn,cq->cn", divu, Np, JxW)
+        r_p = r_p - jnp.einsum("cq,cqnx,cqx->cn", w_p, gp, mom_res)
+
+        r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
+        rhs = scatter_add(self.n_dofs, self.cell_dofs, r_loc)
+        return A_loc, rhs + self._neumann_rhs_const
+
+
+class SCnsIM(SUPGFluidSolver):
+    """Slightly-compressible SUPG solver with isentropic continuity, PML
+    attenuation, artificial-solid handling and nodal-stress-divergence
+    stabilization (reference: source/mpi_scnsim.cpp:15-568)."""
+
+    def _assemble(self, eval_pt, present, indicator, fsi_acc_nodal,
+                  fsi_stress_nodal, stress_nodal, eddy_nu):
+        params = self.params
+        d = self.dim
+        dt = self.time.get_delta_t()
+        Nu, Np, gu, gp, JxW = self.Nu, self.Np, self.gu, self.gp, self.JxW
+        n_c, n_q = JxW.shape
+        nlu, nlp = self.nlu, self.nlp
+        I = jnp.eye(d, dtype=eval_pt.dtype)
+
+        uc, G, pc, gpc, un, pn = self._fields_at_q(eval_pt, present)
+        divu = jnp.trace(G, axis1=2, axis2=3)
+        bf = self.gravity_q
+        sig = self.sigma_pml_q                     # (c, q)
+        ind = indicator[:, None]                   # (c, 1) -> broadcast q
+        nf = 1.0 - ind                             # "not solid" factor
+
+        # local density/viscosity (reference: source/mpi_scnsim.cpp:210-216)
+        rho_q = params.fluid_rho * (1 + pn / ATM) * nf + ind * params.solid_rho
+        cd_u = self.u_space.cell_dofs
+        eddy_q = jnp.einsum("ql,cl->cq", Nu, eddy_nu[cd_u])
+        visc_q = (ind * 1.0 + nf * params.viscosity) + jnp.maximum(eddy_q,
+                                                                   0.0)
+
+        tau_s, tau_p, tau_l = self._stab_parameters(un, visc_q, rho_q)
+        w_s = tau_s * JxW
+        w_p = tau_p * JxW
+        w_l = tau_l * JxW
+
+        # divergence of the projected nodal viscous stress, rescaled by the
+        # local viscosity (reference: source/mpi_scnsim.cpp:278-289)
+        sl = stress_nodal[cd_u]                    # (c, nlu, d, d)
+        div_sigma = jnp.einsum("cqlx,clax->cqa", gu, sl)
+        div_sigma = div_sigma * (visc_q / params.viscosity)[..., None]
+
+        fsi_acc_q = jnp.einsum("ql,cla->cqa", Nu, fsi_acc_nodal[cd_u])
+        fsi_sig_q = jnp.einsum("ql,clab->cqab", Nu, fsi_stress_nodal[cd_u])
+
+        # see SUPGInsIM for the deal.II tensor-contraction conventions
+        ug = jnp.einsum("cqx,cqlx->cql", uc, gu)     # grad N_l . u
+        uTG = jnp.einsum("cqa,cqax->cqx", uc, G)     # (grad u)^T u
+        Gu = jnp.einsum("cqax,cqx->cqa", G, uc)      # (u . grad) u
+        glgm = jnp.einsum("cqlx,cqmx->cqlm", gu, gu)
+        accel = (uc - un) / dt
+        rJ = rho_q * JxW
+
+        # ---------------- Auu -------------------------------------------
+        gg_v = jnp.einsum("cq,cqlx,cqmx->clm", visc_q * JxW, gu, gu)
+        NN_r = jnp.einsum("cq,ql,qm->clm", rJ, Nu, Nu)
+        conv2 = jnp.einsum("cq,ql,cqm->clm", rJ, Nu, ug)
+        Auu = jnp.einsum("clm,ab->clamb",
+                         gg_v + conv2 + NN_r / dt
+                         + jnp.einsum("cq,ql,qm->clm", rJ * sig, Nu, Nu), I)
+        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", rJ, Nu, Nu, G)
+        # SUPG (test vector u[a] grad N_l)
+        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", rho_q * w_s, uc,
+                               Nu, gu, G)
+        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", rho_q * w_s, uc, uc,
+                               glgm)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
+                               gu, uTG, I)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s / dt, uc,
+                               gu, Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s / dt,
+                               Nu, gu, uc - un, I)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu, gpc,
+                               I)
+        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu,
+                               div_sigma, I)
+        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
+                               gu, bf, I)
+        # SUPG PML
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s * sig,
+                               uc, gu, Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s * sig,
+                               Nu, gu, uc, I)
+        # SUPG FSI acceleration (artificial fluid)
+        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb",
+                               w_s * ind * rho_q, Nu, gu, fsi_acc_q, I)
+        # LSIC velocity divergence (+ compressible corrections)
+        Auu = Auu + jnp.einsum("cq,cqla,cqmb->clamb",
+                               rho_q * w_l * CP_TO_CV * (1 + pc * nf / ATM),
+                               gu, gu)
+        # LSIC pressure-gradient coupling (u-trial part)
+        Auu = Auu + jnp.einsum("cq,cqla,qm,cqb->clamb",
+                               rho_q * w_l * nf / ATM, gu, Nu, gpc)
+        Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
+
+        # ---------------- Aup -------------------------------------------
+        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW)
+        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", w_s, uc, gu, gp)
+        # LSIC acceleration terms (fluid + artificial-solid bulk)
+        Aup = Aup + jnp.einsum("cq,cqla,qn->clan",
+                               rho_q * w_l / dt * (nf / ATM + ind / KAPPA_S),
+                               gu, Np)
+        # LSIC velocity-divergence cross term
+        Aup = Aup + jnp.einsum("cq,cqla,qn->clan",
+                               rho_q * w_l * CP_TO_CV * nf * divu / ATM, gu,
+                               Np)
+        # LSIC pressure gradient (p-trial part)
+        Aup = Aup + jnp.einsum("cq,cqla,cqnx,cqx->clan",
+                               rho_q * w_l * nf / ATM, gu, gp, uc)
+        Aup = Aup.reshape(n_c, self.nu_loc, nlp)
+
+        # ---------------- Apu -------------------------------------------
+        # isentropic continuity (reference: source/mpi_scnsim.cpp:395-414)
+        Apu = jnp.einsum("cq,qn,cqmb->cnmb",
+                         CP_TO_CV * (ATM + pc * nf) / ATM * JxW, Np, gu)
+        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", nf / ATM * JxW, Np, Nu,
+                               gpc)
+        # PSPG
+        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", rho_q * w_p, gp, Nu,
+                               G)
+        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", rho_q * w_p, uc, gp,
+                               gu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p / dt, gp, Nu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p * sig, gp, Nu)
+        Apu = Apu.reshape(n_c, nlp, self.nu_loc)
+
+        # ---------------- App -------------------------------------------
+        App = jnp.einsum("cq,qn,qo->cno", sig / ATM * JxW, Np, Np)
+        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", nf / ATM * JxW, Np, gp,
+                               uc)
+        App = App + jnp.einsum("cq,qn,qo,cq->cno", JxW / ATM, Np, Np,
+                               divu * nf)
+        App = App + jnp.einsum("cq,qn,qo->cno",
+                               (nf / ATM + ind / KAPPA_S) / dt * JxW, Np, Np)
+        App = App + jnp.einsum("cq,cqnx,cqox->cno", w_p, gp, gp)
+
+        A_loc = jnp.concatenate([
+            jnp.concatenate([Auu, Aup], axis=2),
+            jnp.concatenate([Apu, App], axis=2)], axis=1)
+
+        # ---------------- RHS -------------------------------------------
+        mom_res = (rho_q[..., None] * (accel + uTG) + gpc - div_sigma -
+                   rho_q[..., None] * bf +
+                   (rho_q * sig)[..., None] * uc)
+        r_u = (-jnp.einsum("cq,cqax,cqlx->cla", visc_q * JxW, G, gu)
+               - jnp.einsum("cq,ql,cqa->cla", rJ, Nu, Gu)
+               + jnp.einsum("cq,cqla->cla", pc * JxW, gu)
+               - jnp.einsum("cq,ql,cqa->cla", rJ / dt, Nu, uc - un)
+               + jnp.einsum("cq,ql,cqa->cla", rJ, Nu, bf)
+               - jnp.einsum("cq,ql,cqa->cla", rJ * sig, Nu, uc))
+        r_u = r_u - jnp.einsum("cq,cqa,cqlx,cqx->cla", w_s, uc, gu, mom_res)
+        # LSIC rhs
+        lsic_res = ((pc - pn) / dt * nf / ATM +
+                    CP_TO_CV * divu * (1 + pc * nf / ATM) +
+                    jnp.einsum("cqx,cqx->cq", uc, gpc) * nf / ATM +
+                    (pc - pn) / dt * ind / KAPPA_S)
+        r_u = r_u - jnp.einsum("cq,cqla->cla", rho_q * w_l * lsic_res, gu)
+        # FSI (artificial fluid)
+        r_u = r_u + ind[..., None] * (
+            jnp.einsum("cqla,cqab,cq->clb", gu, fsi_sig_q, JxW) +
+            jnp.einsum("cq,ql,cqa->cla", rJ, Nu, fsi_acc_q) +
+            jnp.einsum("cq,cqa,cqlx,cqx->cla", w_s * rho_q, uc, gu,
+                       fsi_acc_q))
+
+        cont_res = (CP_TO_CV * (ATM + pc * nf) * divu +
+                    jnp.einsum("cqx,cqx->cq", uc, gpc) * nf +
+                    (pc - pn) / dt * nf) / ATM + \
+            (pc - pn) / dt * ind / KAPPA_S
+        r_p = (-jnp.einsum("cq,qn->cn", cont_res * JxW, Np)
+               - jnp.einsum("cq,qn->cn", sig * pc / ATM * JxW, Np))
+        r_p = r_p - jnp.einsum("cq,cqnx,cqx->cn", w_p, gp, mom_res)
+        r_p = r_p + jnp.einsum("cq,cqnx,cqx->cn", w_p * rho_q * ind, gp,
+                               fsi_acc_q)
+
+        r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
+        rhs = scatter_add(self.n_dofs, self.cell_dofs, r_loc)
+        return A_loc, rhs + self._neumann_rhs_const
