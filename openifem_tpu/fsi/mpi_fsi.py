@@ -1,0 +1,352 @@
+"""MPI-semantics immersed FSI coupler (nodal coupling fields).
+
+Reference: include/mpi_fsi.h, source/mpi_fsi.cpp.  Differences from the
+serial coupler (fsi.py):
+ - indicator: a fluid cell is artificial only if ALL its vertices are inside
+   the solid (reference: source/mpi_fsi.cpp:292-319)
+ - find_fluid_bc (body-force mode): NODAL fields — at velocity support
+   points of artificial cells inside the solid,
+     fsi_acc = (v_s - v_f)/dt + (grad v_f) v_f - a_s
+   and at scalar support points, fsi_stress = fluid nodal viscous stress -
+   interpolated solid nodal stress (reference: source/mpi_fsi.cpp:323-663)
+ - find_solid_bc: fluid (p, tau) interpolated at MOVED solid boundary
+   vertices into the replicated nodal field fsi_stress_rows
+   (reference: source/mpi_fsi.cpp:666-867)
+ - penalty contact model: redo the solid step with incremented contact
+   traction until penetration < 1e-5 (reference: source/mpi_fsi.cpp:870-969)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..mesh.mesh import FACE_VERTICES
+from .fsi import FSI
+from .interp import interpolate_nodal, locate_points
+
+
+class MPIFSI(FSI):
+    def __init__(self, fluid, solid, params, use_dirichlet_bc: bool = False):
+        super().__init__(fluid, solid, params, use_dirichlet_bc)
+        self.penetration_criterion = None
+        self.penetration_direction = None
+
+    def set_penetration_criterion(self, criterion, direction):
+        """criterion(points (n,dim)) -> (n,) penetration depth; direction:
+        contact force direction (reference: source/mpi_fsi.cpp:1229-1237)."""
+        self.penetration_criterion = criterion
+        self.penetration_direction = np.asarray(direction, dtype=np.float64)
+
+    # ------------------------------------------------------------------
+    def _setup_coupling(self):
+        super()._setup_coupling()
+        fluid, solid = self.fluid, self.solid
+        d = fluid.dim
+
+        # eligibility for Dirichlet constraints / nodal acceleration:
+        # non-cell-interior support points (reference skips points whose
+        # unit coordinates are all strictly inside (0,1),
+        # source/mpi_fsi.cpp:589-602)
+        unit = fluid.u_space.shapes.local_nodes()
+        strict_inside = ((unit > 1e-5) & (unit < 1 - 1e-5)).all(axis=1)
+        eligible = np.zeros(fluid.u_space.n_nodes, dtype=bool)
+        for l in range(unit.shape[0]):
+            if not strict_inside[l]:
+                eligible[fluid.u_space.cell_dofs[:, l]] = True
+        self._u_node_eligible = jnp.asarray(eligible)
+
+        # fluid cell vertices (for the all-vertices indicator)
+        self._fluid_cell_vert_coords = jnp.asarray(
+            fluid.mesh.vertices[fluid.mesh.cells], dtype=real_dtype())
+
+        # per-node owner cell = smallest cell index containing the node
+        owner = np.full(fluid.u_space.n_nodes, 2 ** 31 - 1, dtype=np.int64)
+        for c in range(fluid.mesh.n_cells - 1, -1, -1):
+            owner[fluid.u_space.cell_dofs[c]] = c
+        self._u_node_owner = jnp.asarray(owner, dtype=jnp.int32)
+
+        # physical shape gradients of the u space at its unit support points
+        from ..fe.fevalues import _geometry_jacobians
+        N, dN = fluid.u_space.shapes.evaluate(unit)
+        _, Jinv, _, _ = _geometry_jacobians(fluid.mesh, unit)
+        gsup = np.einsum("sld,csdx->cslx", dN, Jinv)  # (c, n_sup, nl, d)
+        self._gsup = jnp.asarray(gsup, dtype=real_dtype())
+
+        # solid boundary nodes (on non-fully-fixed faces) for find_solid_bc
+        smesh = solid.mesh
+        fixed_flag = (1 << d) - 1
+        bnodes = set()
+        for c in range(smesh.n_cells):
+            for f in range(2 * d):
+                bid = int(smesh.boundary_id[c, f])
+                if bid < 0:
+                    continue
+                if self.params.solid_dirichlet_bcs.get(bid) == fixed_flag:
+                    continue
+                for l in solid.space.face_local_nodes[f]:
+                    bnodes.add(int(solid.space.cell_dofs[c, l]))
+        self._solid_bnodes = jnp.asarray(sorted(bnodes), dtype=jnp.int32)
+
+        self._mpi_kernels = _MPIKernels(self)
+
+    # ------------------------------------------------------------------
+    def update_solid_box_and_indicator(self):
+        k = self._mpi_kernels
+        moved = self._solid_moved_verts()
+        self.fluid.indicator = k.indicator_all_vertices(moved).astype(
+            real_dtype())
+
+    def find_fluid_bc(self):
+        fluid, solid = self.fluid, self.solid
+        k = self._mpi_kernels
+        moved = self._solid_moved_verts()
+        solid.update_strain_and_stress()
+        solid_stress_nodal = jnp.asarray(
+            solid.stress.transpose(2, 0, 1), dtype=real_dtype())
+
+        # nodal fsi_stress difference (both modes set it; reference computes
+        # it before the acceleration loop)
+        fluid.fsi_stress_nodal = k.fsi_stress_nodal(
+            moved, fluid.stress_device, solid_stress_nodal, fluid.indicator)
+
+        if not self.use_dirichlet_bc:
+            fluid.fsi_acc_nodal = k.fsi_acc_nodal(
+                moved, fluid.present_solution, solid.current_velocity,
+                solid.current_acceleration, fluid.indicator)
+            fluid.fsi_acceleration = jnp.zeros_like(fluid.fsi_acceleration)
+            return None, None
+        else:
+            fluid.fsi_acc_nodal = jnp.zeros_like(fluid.fsi_acc_nodal)
+            mask_u, vals_u = k.dirichlet_bc_mpi(moved, solid.current_velocity)
+            n = fluid.n_dofs
+            mask = jnp.zeros(n, dtype=bool).at[:fluid.n_u].set(
+                mask_u.reshape(-1))
+            vals = jnp.zeros(n, dtype=real_dtype()).at[:fluid.n_u].set(
+                vals_u.reshape(-1))
+            zero_ext = fluid.zero_constraints.with_extra_dirichlet(
+                mask, jnp.zeros_like(vals))
+            nonzero_ext = fluid.nonzero_constraints.with_extra_dirichlet(
+                mask, vals)
+            return zero_ext, nonzero_ext
+
+    def find_solid_bc(self):
+        k = self._mpi_kernels
+        self.solid.fsi_stress_rows = k.solid_bc_rows(
+            self.solid.current_displacement, self.fluid.present_solution,
+            self.fluid.stress_device)
+
+    # ------------------------------------------------------------------
+    def apply_contact_model(self, first_step: bool):
+        """reference: source/mpi_fsi.cpp:870-969."""
+        solid = self.solid
+        d = solid.dim
+        force_increment = self.params.contact_force_multiplier
+        cache = (solid.current_acceleration, solid.current_velocity,
+                 solid.current_displacement, solid.previous_acceleration,
+                 solid.previous_velocity, solid.previous_displacement)
+        direction = self.penetration_direction
+        dirn = direction / np.linalg.norm(direction)
+
+        # all boundary faces participate (the reference loop does not skip
+        # Dirichlet faces here); each (face, vertex) OCCURRENCE adds its own
+        # contribution, so vertices shared by two boundary faces accumulate
+        # twice — replicated exactly (reference: source/mpi_fsi.cpp:903-954)
+        fv = solid.fv
+        smesh = solid.mesh
+        face_vertex_pairs = []  # (vertex id, face normal)
+        normals0 = np.asarray(fv.normals)[:, 0, :]
+        for i, (c, f) in enumerate(zip(np.asarray(fv.cells),
+                                       np.asarray(fv.faces))):
+            for v in FACE_VERTICES[d][f]:
+                face_vertex_pairs.append((int(smesh.cells[c, v]),
+                                          normals0[i]))
+
+        while True:
+            solid.run_one_step(first_step)
+            moved = np.asarray(solid.moved_vertex_coords())
+            verts = np.array([p[0] for p in face_vertex_pairs])
+            pen = np.asarray(self.penetration_criterion(moved[verts]))
+            if not np.any(pen > 1e-5):
+                break
+            rows = np.array(solid.fsi_stress_rows)
+            for (node, nrm), pv in zip(face_vertex_pairs, pen):
+                if pv <= 1e-5:
+                    continue
+                traction = force_increment * pv * dirn
+                extra = np.zeros((d, d))
+                for dd in range(d):
+                    extra[dd, d - 1] = (traction[dd] / nrm[dd]
+                                        if nrm[dd] > 1e-5 else 0.0)
+                rows[node] += extra
+            solid.fsi_stress_rows = jnp.asarray(rows, dtype=real_dtype())
+            (solid.current_acceleration, solid.current_velocity,
+             solid.current_displacement, solid.previous_acceleration,
+             solid.previous_velocity, solid.previous_displacement) = cache
+            solid.time.decrement()
+
+    # ------------------------------------------------------------------
+    def run(self, verbose: bool = True):
+        """reference: source/mpi_fsi.cpp:1119-1227."""
+        params = self.params
+        self.solid.mesh = self.solid.mesh.refine_global(
+            params.global_refinements[1])
+        self.solid.setup()
+        self.fluid.mesh = self.fluid.mesh.refine_global(
+            params.global_refinements[0])
+        self.fluid.setup()
+        self._setup_coupling()
+
+        if verbose:
+            print(f"MPIFSI: fluid cells/dofs [{self.fluid.mesh.n_cells}, "
+                  f"{self.fluid.n_dofs}], solid cells/dofs "
+                  f"[{self.solid.mesh.n_cells}, {self.solid.n_dofs}]")
+
+        first_step = True
+        while self.time.end() - self.time.current() > 1e-12:
+            self.find_solid_bc()
+            if self.penetration_criterion is not None:
+                self.apply_contact_model(first_step)
+            else:
+                self.solid.run_one_step(first_step)
+            self.update_solid_box_and_indicator()
+            zero_ext, nonzero_ext = self.find_fluid_bc()
+            self.fluid.run_one_step(True, verbose=verbose,
+                                    zero_cons=zero_ext,
+                                    nonzero_cons=nonzero_ext)
+            first_step = False
+            self.time.increment()
+
+
+class _MPIKernels:
+    def __init__(self, fsi: MPIFSI):
+        fluid, solid = fsi.fluid, fsi.solid
+        d = fluid.dim
+        scell = fsi._solid_cells
+        sdeg = solid.params.solid_degree
+        s_space_dofs = jnp.asarray(solid.space.cell_dofs, dtype=jnp.int32)
+        u_cell_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
+        dt = fsi.params.time_step
+
+        def solid_geom(moved):
+            cv = moved[scell]
+            return cv, cv.min(axis=1), cv.max(axis=1), moved.min(axis=0), \
+                moved.max(axis=0)
+
+        def points_in_solid(points, moved):
+            cv, lo, hi, box_lo, box_hi = solid_geom(moved)
+            idx, unit, found = locate_points(points, cv, lo, hi)
+            inbox = jnp.all((points >= box_lo) & (points <= box_hi), axis=-1)
+            return idx, unit, found & inbox
+
+        @jax.jit
+        def indicator_all_vertices(moved):
+            """all cell vertices inside -> artificial
+            (reference: source/mpi_fsi.cpp:292-319)."""
+            verts = fsi._fluid_cell_vert_coords  # (n_c, nv, d)
+            n_c, nv, _ = verts.shape
+            _, _, found = points_in_solid(verts.reshape(-1, d), moved)
+            return found.reshape(n_c, nv).all(axis=1)
+
+        @jax.jit
+        def fsi_stress_nodal(moved, fluid_stress, solid_stress, indicator):
+            """fluid nodal stress - interpolated solid nodal stress on
+            covered scalar dofs (reference: source/mpi_fsi.cpp:411-476)."""
+            pts = fsi._fluid_u_points
+            # node is considered if it belongs to ANY indicator cell
+            node_in_ind_cell = jnp.zeros(fluid.u_space.n_nodes,
+                                         dtype=bool).at[
+                u_cell_dofs.reshape(-1)].max(
+                jnp.broadcast_to(indicator[:, None] > 0,
+                                 u_cell_dofs.shape).reshape(-1))
+            idx, unit, found = points_in_solid(pts, moved)
+            s_scalar = interpolate_nodal(solid_stress, s_space_dofs, idx,
+                                         unit, sdeg, found)
+            active = node_in_ind_cell & found
+            diff = fluid_stress - s_scalar
+            return jnp.where(active[:, None, None], diff, 0.0)
+
+        @jax.jit
+        def fsi_acc_nodal(moved, fluid_solution, solid_vel, solid_acc,
+                          indicator):
+            """(v_s - v_f)/dt + (grad v_f) v_f - a_s at velocity support
+            points (reference: source/mpi_fsi.cpp:478-566)."""
+            pts = fsi._fluid_u_points
+            u = fluid_solution[:fluid.n_u].reshape(-1, d)
+            ul = u[u_cell_dofs]                        # (c, nl, d)
+            # gradient at each cell's support points
+            gv = jnp.einsum("cslx,cla->csax", fsi._gsup, ul)
+            # per-node gradient from the owner cell
+            owner = fsi._u_node_owner
+            n_nodes = fluid.u_space.n_nodes
+            grad_at_node = jnp.zeros((n_nodes, d, d),
+                                     dtype=fluid_solution.dtype)
+            # scatter: node s of cell c contributes if owner[node]==c
+            flat_nodes = u_cell_dofs.reshape(-1)
+            c_ids = jnp.repeat(jnp.arange(u_cell_dofs.shape[0],
+                                          dtype=jnp.int32),
+                               u_cell_dofs.shape[1])
+            sel = (owner[flat_nodes] == c_ids).astype(fluid_solution.dtype)
+            grad_at_node = grad_at_node.at[flat_nodes].add(
+                gv.reshape(-1, d, d) * sel[:, None, None])
+
+            idx, unit, found = points_in_solid(pts, moved)
+            vs = interpolate_nodal(solid_vel.reshape(-1, d), s_space_dofs,
+                                   idx, unit, sdeg, found)
+            a_s = interpolate_nodal(solid_acc.reshape(-1, d), s_space_dofs,
+                                    idx, unit, sdeg, found)
+            node_in_ind_cell = jnp.zeros(n_nodes, dtype=bool).at[
+                u_cell_dofs.reshape(-1)].max(
+                jnp.broadcast_to(indicator[:, None] > 0,
+                                 u_cell_dofs.shape).reshape(-1))
+            fluid_acc = (vs - u) / dt + jnp.einsum("nab,nb->na",
+                                                   grad_at_node, u)
+            val = fluid_acc - a_s
+            active = node_in_ind_cell & found & fsi._u_node_eligible
+            return jnp.where(active[:, None], val, 0.0)
+
+        @jax.jit
+        def dirichlet_bc_mpi(moved, solid_vel):
+            pts = fsi._fluid_u_points
+            idx, unit, found = points_in_solid(pts, moved)
+            inside = found & fsi._u_node_eligible
+            v_s = interpolate_nodal(solid_vel.reshape(-1, d), s_space_dofs,
+                                    idx, unit, sdeg, found)
+            mask = jnp.broadcast_to(inside[:, None], v_s.shape)
+            return mask, jnp.where(mask, v_s, 0.0)
+
+        bnodes = fsi._solid_bnodes
+        fdeg = fluid.params.fluid_velocity_degree
+        p_cell_dofs = jnp.asarray(fluid.p_space.cell_dofs, dtype=jnp.int32)
+        s_node_ref = jnp.asarray(solid.space.node_points,
+                                 dtype=real_dtype())
+        n_sv = fsi._n_sv
+
+        @jax.jit
+        def solid_bc_rows(solid_disp, fluid_solution, fluid_stress):
+            """sigma = -p I + tau at moved solid boundary nodes
+            (reference: source/mpi_fsi.cpp:666-867)."""
+            d_full = solid_disp.reshape(-1, d)
+            pts = s_node_ref[bnodes] + d_full[bnodes]
+            idx, unit, found = locate_points(
+                pts, fsi._fluid_cell_verts, fsi._fluid_bbox_lo,
+                fsi._fluid_bbox_hi)
+            p_nodes = fluid_solution[fluid.n_u:]
+            p_val = interpolate_nodal(p_nodes, p_cell_dofs, idx, unit,
+                                      fluid.params.fluid_pressure_degree,
+                                      found)
+            tau = interpolate_nodal(fluid_stress, u_cell_dofs, idx, unit,
+                                    fdeg, found)
+            I = jnp.eye(d, dtype=fluid_solution.dtype)
+            sigma = -p_val[:, None, None] * I + tau
+            rows = jnp.zeros((solid.space.n_nodes, d, d),
+                             dtype=fluid_solution.dtype)
+            return rows.at[bnodes].set(sigma)
+
+        self.indicator_all_vertices = indicator_all_vertices
+        self.fsi_stress_nodal = fsi_stress_nodal
+        self.fsi_acc_nodal = fsi_acc_nodal
+        self.dirichlet_bc_mpi = dirichlet_bc_mpi
+        self.solid_bc_rows = solid_bc_rows

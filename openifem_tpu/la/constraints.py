@@ -51,6 +51,14 @@ class Constraints:
         """Zero all constrained dofs."""
         return jnp.where(self.fixed, 0.0, x)
 
+    def distribute_with_values(self, x, dirichlet_values):
+        """distribute() with caller-supplied Dirichlet values."""
+        x = jnp.where(self.dirichlet, dirichlet_values, x)
+        if self.any_hanging:
+            xm = (x[self.hang_idx] * self.hang_w).sum(axis=1)
+            x = jnp.where(self.hanging, xm, x)
+        return x
+
     def expand(self, x):
         """Homogeneous prolongation P x: hanging dofs from masters, Dirichlet
         dofs zeroed (used inside the condensed operator)."""

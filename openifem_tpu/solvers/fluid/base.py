@@ -39,6 +39,15 @@ class FluidSolverBase:
         self._setup_done = False
         self.body_force = None          # set_body_force analog
         self.initial_condition = None   # set_initial_condition analog
+        # time-dependent hard-coded BCs: bid -> fn(points, component, time)
+        # (reference: source/mpi_fluid_solver.cpp:65-79)
+        self.hard_coded_bcs = {}
+        self.bc_time = 0.0
+
+    def add_hard_coded_boundary_condition(self, bid: int, fn):
+        """fn(points (n,dim), component, time) -> (n,) boundary values for
+        the components constrained on boundary `bid` in the parameters."""
+        self.hard_coded_bcs[bid] = fn
 
     # ------------------------------------------------------------------
     def set_body_force(self, fn: Callable):
@@ -82,6 +91,10 @@ class FluidSolverBase:
         self.indicator = jnp.zeros(n_c, dtype=rdt)
         self.fsi_acceleration = jnp.zeros((n_c, dim), dtype=rdt)
         self.fsi_stress_cell = jnp.zeros((n_c, dim, dim), dtype=rdt)
+        # MPI-style nodal FSI fields (reference: include/mpi_fluid_solver.h:208-212)
+        self.fsi_acc_nodal = jnp.zeros((self.u_space.n_nodes, dim), dtype=rdt)
+        self.fsi_stress_nodal = jnp.zeros((self.u_space.n_nodes, dim, dim),
+                                          dtype=rdt)
         # nodal viscous stress, device-resident (n_scalar_nodes, dim, dim)
         self.stress_device = jnp.zeros((self.u_space.n_nodes, dim, dim),
                                        dtype=rdt)
@@ -111,7 +124,10 @@ class FluidSolverBase:
                     continue
                 gd = nodes * dim + d
                 fresh = ~dmask[gd]
-                if params.use_hard_coded_values and \
+                if params.use_hard_coded_values and bid in self.hard_coded_bcs:
+                    v = np.asarray(self.hard_coded_bcs[bid](pts, d,
+                                                            self.bc_time))
+                elif params.use_hard_coded_values and \
                         self.boundary_values is not None:
                     v = np.asarray(self.boundary_values(pts, d))
                 else:

@@ -127,7 +127,8 @@ class InsIM(FluidSolverBase):
         return jnp.asarray(rhs, dtype=real_dtype())
 
     # ------------------------------------------------------------------
-    def _assemble(self, eval_pt, present, indicator, fsi_acc, fsi_stress):
+    def _assemble(self, eval_pt, present, indicator, fsi_acc, fsi_stress,
+                  fsi_acc_nodal):
         """Element Newton matrix + rhs at evaluation point.
 
         Weak form: reference source/mpi_insim.cpp:263-304."""
@@ -189,6 +190,12 @@ class InsIM(FluidSolverBase):
         r_u = r_u + indicator[:, None, None] * (
             jnp.einsum("cqla,cab,cq->clb", gu, fsi_stress, JxW) +
             jnp.einsum("ql,ca,cq->cla", Nu, fsi_acc, JxW))
+        # MPI-style nodal FSI acceleration field (reference:
+        # source/mpi_insim.cpp:298-304, note the extra rho)
+        acc_q = jnp.einsum("ql,cla->cqa", Nu,
+                           fsi_acc_nodal[self.u_space.cell_dofs])
+        r_u = r_u + (rho * indicator[:, None, None]) * jnp.einsum(
+            "ql,cqa,cq->cla", Nu, acc_q, JxW)
         r_p = jnp.einsum("cq,qn,cq->cn", divu, Np, JxW)
 
         r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
@@ -259,9 +266,9 @@ class InsIM(FluidSolverBase):
 
     # ------------------------------------------------------------------
     def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc,
-                          fsi_stress, cons, ucons, pcons):
+                          fsi_stress, fsi_acc_nodal, cons, ucons, pcons):
         A_loc, rhs = self._assemble(eval_pt, present, indicator, fsi_acc,
-                                    fsi_stress)
+                                    fsi_stress, fsi_acc_nodal)
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
 
@@ -303,7 +310,8 @@ class InsIM(FluidSolverBase):
             du, res_norm, gmres_iters, gmres_res = self._newton_iter(
                 eval_pt, self.present_solution, self.indicator,
                 self.fsi_acceleration, self.fsi_stress_cell,
-                zero_cons, self._u_cons_of(zero_cons), self.p_constraints)
+                self.fsi_acc_nodal, zero_cons, self._u_cons_of(zero_cons),
+                self.p_constraints)
             current_res = float(res_norm)
             if (prev_res is not None and int(gmres_iters) == 0
                     and current_res >= prev_res * (1 - 1e-12)):

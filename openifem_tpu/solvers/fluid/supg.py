@@ -113,11 +113,6 @@ class SUPGFluidSolver(FluidSolverBase):
         cnt = Counter(seq[:K])
         self._h_terms = [(l, float(w), kind) for (l, kind), w in cnt.items()]
 
-        # nodal FSI fields (MPI-style coupling; zero by default)
-        self.fsi_acc_nodal = jnp.zeros((self.u_space.n_nodes, d), dtype=rdt)
-        self.fsi_stress_nodal = jnp.zeros((self.u_space.n_nodes, d, d),
-                                          dtype=rdt)
-
         self._newton_iter = jax.jit(self._newton_iter_impl)
 
     def set_sigma_pml_field(self, fn):
@@ -306,13 +301,23 @@ class SUPGFluidSolver(FluidSolverBase):
         self.update_stress()
 
     def run(self, verbose: bool = True):
+        """reference: source/mpi_supg_solver.cpp:427-486 (time-dependent
+        hard-coded BCs advance their own clock and reapply nonzero
+        constraints every step)."""
         if not self._setup_done:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[0])
+            if self.hard_coded_bcs:
+                self.bc_time += self.time.get_delta_t()
             self.setup()
         self.run_one_step(True, verbose=verbose)
         while self.time.end() - self.time.current() > 1e-12:
-            self.run_one_step(False, verbose=verbose)
+            if self.hard_coded_bcs:
+                self.bc_time += self.time.get_delta_t()
+                self._make_constraints()
+                self.run_one_step(True, verbose=verbose)
+            else:
+                self.run_one_step(False, verbose=verbose)
 
     # ------------------------------------------------------------------
     def _fields_at_q(self, eval_pt, present):

@@ -1,0 +1,39 @@
+"""MPI-semantics FSI tests (nodal coupling + contact model)."""
+
+import numpy as np
+import pytest
+
+from openifem_tpu.fsi.mpi_fsi import MPIFSI
+from openifem_tpu.mesh import generators
+from openifem_tpu.parameters import AllParameters
+from openifem_tpu.solvers.fluid.supg import SCnsIM
+from openifem_tpu.solvers.solid.shared import (SharedHyperElasticity,
+                                               SharedLinearElasticity)
+
+REF = "/root/reference/tests"
+
+
+def test_fsi_contact_model():
+    """Penalty contact of an elastic block against a wall
+    (reference: tests/fsi_contact_model_mpi, golden umin = -0.01999,
+    rtol 1e-3)."""
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [50, 25], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [10, 11], [0.0, 0.0], [1.0, 1.02])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.25, 0.0])
+
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+
+    def penetration(points):
+        return points[:, 1] - 1.0
+
+    fsi = MPIFSI(fluid, solid, p)
+    fsi.set_penetration_criterion(penetration, np.array([0.0, -1.0]))
+    fsi.run(verbose=False)
+    u = np.asarray(solid.get_current_solution())
+    umin = float(u.min())
+    assert abs(umin + 0.01999) / 0.01999 < 1e-3, umin

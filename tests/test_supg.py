@@ -26,6 +26,7 @@ def test_plane_wall_driven_supg():
     assert abs(l2 - 4.7112) / 4.7112 < 1e-3
 
 
+@pytest.mark.slow
 def test_pressure_driven_supg():
     """Poiseuille with Q1/Q1 SUPG: vmax within 2e-2, 30th-largest velocity
     dof within 1e-3 of 2.5e-2 (reference:
