@@ -102,8 +102,12 @@ class FSI:
         indicator = k.indicator(moved)
         self.fluid.indicator = indicator.astype(real_dtype())
 
-    def find_fluid_bc(self):
-        """reference: source/fsi.cpp:168-310."""
+    def find_fluid_bc(self, first_step: bool = True):
+        """reference: source/fsi.cpp:168-310.  The FSI Dirichlet
+        inhomogeneity is the velocity DELTA (v_solid - present), and after
+        the first step the boundary-BC inhomogeneities are zeroed
+        (nonzero_constraints.copy_from(zero_constraints), reference:
+        source/fsi.cpp:478-484)."""
         fluid, solid = self.fluid, self.solid
         d = fluid.dim
         k = self._kernels
@@ -124,10 +128,13 @@ class FSI:
                 mask_u.reshape(-1))
             vals = jnp.zeros(n, dtype=real_dtype()).at[:fluid.n_u].set(
                 vals_u.reshape(-1))
+            # the constraint value is the velocity delta
+            vals = vals - jnp.where(mask, fluid.present_solution, 0.0)
+            base = fluid.nonzero_constraints if first_step else \
+                fluid.zero_constraints
             zero_ext = fluid.zero_constraints.with_extra_dirichlet(
                 mask, jnp.zeros_like(vals))
-            nonzero_ext = fluid.nonzero_constraints.with_extra_dirichlet(
-                mask, vals)
+            nonzero_ext = base.with_extra_dirichlet(mask, vals)
             return zero_ext, nonzero_ext
 
     def find_solid_bc(self):
@@ -161,7 +168,7 @@ class FSI:
             self.find_solid_bc()
             self.solid.run_one_step(first_step)
             self.update_solid_box_and_indicator()
-            zero_ext, nonzero_ext = self.find_fluid_bc()
+            zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
             self.fluid.run_one_step(True, verbose=verbose,
                                     zero_cons=zero_ext,
                                     nonzero_cons=nonzero_ext)

@@ -99,7 +99,7 @@ class MPIFSI(FSI):
         self.fluid.indicator = k.indicator_all_vertices(moved).astype(
             real_dtype())
 
-    def find_fluid_bc(self):
+    def find_fluid_bc(self, first_step: bool = True):
         fluid, solid = self.fluid, self.solid
         k = self._mpi_kernels
         moved = self._solid_moved_verts()
@@ -126,10 +126,12 @@ class MPIFSI(FSI):
                 mask_u.reshape(-1))
             vals = jnp.zeros(n, dtype=real_dtype()).at[:fluid.n_u].set(
                 vals_u.reshape(-1))
+            vals = vals - jnp.where(mask, fluid.present_solution, 0.0)
+            base = fluid.nonzero_constraints if first_step else \
+                fluid.zero_constraints
             zero_ext = fluid.zero_constraints.with_extra_dirichlet(
                 mask, jnp.zeros_like(vals))
-            nonzero_ext = fluid.nonzero_constraints.with_extra_dirichlet(
-                mask, vals)
+            nonzero_ext = base.with_extra_dirichlet(mask, vals)
             return zero_ext, nonzero_ext
 
     def find_solid_bc(self):
@@ -212,7 +214,7 @@ class MPIFSI(FSI):
             else:
                 self.solid.run_one_step(first_step)
             self.update_solid_box_and_indicator()
-            zero_ext, nonzero_ext = self.find_fluid_bc()
+            zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
             self.fluid.run_one_step(True, verbose=verbose,
                                     zero_cons=zero_ext,
                                     nonzero_cons=nonzero_ext)

@@ -51,6 +51,17 @@ class Constraints:
         """Zero all constrained dofs."""
         return jnp.where(self.fixed, 0.0, x)
 
+    def apply_increment(self, x):
+        """deal.II Newton-constraint semantics: the inhomogeneity is ADDED
+        to the evaluation point at the first Newton iteration (the
+        constrained newton_update equals the inhomogeneity and
+        eval += update; reference: source/insim.cpp:409-449)."""
+        x = jnp.where(self.dirichlet, x + self.dirichlet_values, x)
+        if self.any_hanging:
+            xm = (x[self.hang_idx] * self.hang_w).sum(axis=1)
+            x = jnp.where(self.hanging, xm, x)
+        return x
+
     def distribute_with_values(self, x, dirichlet_values):
         """distribute() with caller-supplied Dirichlet values."""
         x = jnp.where(self.dirichlet, dirichlet_values, x)

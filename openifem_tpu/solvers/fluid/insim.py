@@ -297,7 +297,7 @@ class InsIM(FluidSolverBase):
 
         eval_pt = self.present_solution
         if apply_nonzero_constraints:
-            eval_pt = nonzero_cons.distribute(eval_pt)
+            eval_pt = nonzero_cons.apply_increment(eval_pt)
 
         current_res = 1.0
         initial_res = 1.0

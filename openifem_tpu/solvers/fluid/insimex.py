@@ -252,7 +252,7 @@ class InsIMEX(FluidSolverBase):
         present = self.present_solution
         if apply_nonzero_constraints:
             # fold the inhomogeneous BC values into the increment
-            present = self.nonzero_constraints.distribute(present)
+            present = self.nonzero_constraints.apply_increment(present)
         bc_shift = present - self.present_solution
 
         du, res_norm, iters, gres = self._step(

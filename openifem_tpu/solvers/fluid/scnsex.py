@@ -232,8 +232,12 @@ class SCnsEX(FluidSolverBase):
         self.update_stress()
 
     def run(self, verbose: bool = True):
-        """reference: source/mpi_scnsex.cpp:540-596."""
+        """reference: source/mpi_scnsex.cpp:540-596.  Note the BC clock is
+        advanced once before setup AND once per loop iteration, so the first
+        step sees t_bc = 2*dt (replicating the reference exactly)."""
         if not self._setup_done:
+            if self.hard_coded_bcs:
+                self.bc_time += self.time.get_delta_t()
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[0])
             self.setup()

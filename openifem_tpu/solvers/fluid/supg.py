@@ -262,7 +262,7 @@ class SUPGFluidSolver(FluidSolverBase):
 
         eval_pt = self.present_solution
         if apply_nonzero_constraints:
-            eval_pt = nonzero_cons.distribute(eval_pt)
+            eval_pt = nonzero_cons.apply_increment(eval_pt)
 
         eddy = getattr(self, "eddy_viscosity_nodal", None)
         if eddy is None:
