@@ -219,6 +219,59 @@ class FluidSolverBase:
     def get_current_solution(self):
         return self.present_solution
 
+    # ------------------------------------------------------------------
+    def output_results(self, step: Optional[int] = None,
+                       prefix: str = "fluid"):
+        """VTU output with velocity/pressure/indicator/stress
+        (reference: source/mpi_fluid_solver.cpp:490-579)."""
+        from ...io.vtk import write_vtu
+        from ...utils.pvd import PVDWriter
+        if step is None:
+            step = self.time.get_timestep()
+        n_vert = self.mesh.n_vertices
+        d = self.dim
+        u = np.asarray(self.present_solution[:self.n_u]).reshape(-1, d)
+        p = np.asarray(self.present_solution[self.n_u:])
+        tau = np.asarray(self.stress_device)
+        point_data = {"velocity": u[:n_vert], "pressure": p[:n_vert]}
+        for i in range(d):
+            for j in range(i, d):
+                point_data[f"tau_{i}{j}"] = tau[:n_vert, i, j]
+        write_vtu(f"{prefix}-{step:06d}.vtu", self.mesh,
+                  point_data=point_data,
+                  cell_data={"indicator": np.asarray(self.indicator)})
+        if not hasattr(self, "_pvd"):
+            self._pvd = PVDWriter(self.time, f"{prefix}.pvd")
+        self._pvd.write_current_timestep(f"{prefix}-", 6)
+
+    def save_checkpoint(self, step: Optional[int] = None,
+                        prefix: str = "fluid"):
+        """reference: source/mpi_fluid_solver.cpp:581-636."""
+        from ...io.checkpoint import save_checkpoint
+        if step is None:
+            step = self.time.get_timestep()
+        save_checkpoint(prefix, step, {
+            "present_solution": np.asarray(self.present_solution),
+            "time_current": self.time.current(),
+        })
+
+    def load_checkpoint(self, prefix: str = "fluid") -> bool:
+        """reference: source/mpi_fluid_solver.cpp:638-713."""
+        from ...io.checkpoint import load_latest_checkpoint
+        data = load_latest_checkpoint(prefix)
+        if data is None:
+            return False
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            self.setup()
+        self.present_solution = jnp.asarray(data["present_solution"],
+                                            dtype=real_dtype())
+        while self.time.get_timestep() < data["__step__"]:
+            self.time.increment()
+        self.update_stress()
+        return True
+
     def velocity_part(self, solution=None):
         s = self.present_solution if solution is None else solution
         return np.asarray(s[:self.n_u])

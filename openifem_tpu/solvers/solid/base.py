@@ -138,6 +138,69 @@ class SolidSolverBase:
         return self.current_displacement
 
     # ------------------------------------------------------------------
+    def output_results(self, step: Optional[int] = None,
+                       prefix: str = "solid"):
+        """VTU output with displacement/velocity/strain/stress
+        (reference: source/solid_solver.cpp:143-206)."""
+        from ...io.vtk import write_vtu
+        from ...utils.pvd import PVDWriter
+        if step is None:
+            step = self.time.get_timestep()
+        n_vert = self.mesh.n_vertices
+        d = self.dim
+        u = np.asarray(self.current_displacement).reshape(-1, d)
+        v = np.asarray(self.current_velocity).reshape(-1, d)
+        point_data = {"displacements": u[:n_vert], "velocities": v[:n_vert]}
+        if hasattr(self, "strain"):
+            for i in range(d):
+                for j in range(i, d):
+                    point_data[f"E{i}{j}"] = self.strain[i][j][:n_vert]
+                    point_data[f"S{i}{j}"] = self.stress[i][j][:n_vert]
+        write_vtu(f"{prefix}-{step:06d}.vtu", self.mesh,
+                  point_data=point_data,
+                  cell_data={"material_id":
+                             np.asarray(self.mesh.material_id)})
+        if not hasattr(self, "_pvd"):
+            self._pvd = PVDWriter(self.time, f"{prefix}.pvd")
+        self._pvd.write_current_timestep(f"{prefix}-", 6)
+
+    def save_checkpoint(self, step: Optional[int] = None,
+                        prefix: str = "solid"):
+        """reference: source/mpi_shared_solid_solver.cpp:452-505."""
+        from ...io.checkpoint import save_checkpoint
+        if step is None:
+            step = self.time.get_timestep()
+        save_checkpoint(prefix, step, {
+            "displacement": np.asarray(self.current_displacement),
+            "velocity": np.asarray(self.current_velocity),
+            "acceleration": np.asarray(self.current_acceleration),
+            "time_current": self.time.current(),
+        })
+
+    def load_checkpoint(self, prefix: str = "solid") -> bool:
+        """reference: source/mpi_shared_solid_solver.cpp:508-571."""
+        from ...io.checkpoint import load_latest_checkpoint
+        data = load_latest_checkpoint(prefix)
+        if data is None:
+            return False
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[1])
+            self.setup()
+        rdt = real_dtype()
+        self.current_displacement = jnp.asarray(data["displacement"],
+                                                dtype=rdt)
+        self.current_velocity = jnp.asarray(data["velocity"], dtype=rdt)
+        self.current_acceleration = jnp.asarray(data["acceleration"],
+                                                dtype=rdt)
+        self.previous_displacement = self.current_displacement
+        self.previous_velocity = self.current_velocity
+        self.previous_acceleration = self.current_acceleration
+        while self.time.get_timestep() < data["__step__"]:
+            self.time.increment()
+        return True
+
+    # ------------------------------------------------------------------
     def make_cg_solver(self, op, diag, maxiter=None):
         """Build a once-jitted CG solve fn(b, atol) -> SolveResult.
 

@@ -79,3 +79,24 @@ def test_beam_linear_short_sanity():
     assert u.min() < -0.003
     solid.update_strain_and_stress()
     assert solid.stress.shape[0] == 2
+
+
+def test_solid_beam_bending_neohookean_3d():
+    """3D hyperelastic cantilever golden (reference:
+    tests/solid_beam_bending_NeoHookean/...cpp:59-60: umin=-0.0617214,
+    umax=0.00867507, rtol 1e-3)."""
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_NeoHookean/"
+        "solid_beam_bending_NeoHookean.prm")
+    p.dimension = 3
+    p.gravity = [0.0, 0.0, 0.0]
+    p.solid_neumann_bcs = {3: [0.0, -500.0, 0.0]}
+    L, H = 10.0, 1.0
+    mesh = generators.subdivided_hyper_rectangle(
+        [40, 4, 4], [0, 0, 0], [L, H, H])
+    solid = HyperElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    umin, umax = float(u.min()), float(u.max())
+    assert abs((umin + 0.0617214) / 0.0617214) < 1e-3
+    assert abs((umax - 0.00867507) / 0.00867507) < 1e-3
