@@ -43,6 +43,12 @@ class InsIM(FluidSolverBase):
     a_inner_rtol = 1e-3
     outer_restart = 30
     outer_max_restarts = 40
+    # run the whole block-Schur preconditioner in float32: the outer FGMRES
+    # is flexible, so an approximate (low-precision) preconditioner changes
+    # only iteration counts, never the converged f64 solution.  On TPU the
+    # preconditioner is where nearly all flops are, and f32 hits the MXU
+    # natively while f64 is emulated.
+    mixed_precision_precond = False
 
     def setup(self):
         assert (self.params.fluid_velocity_degree -
@@ -213,6 +219,12 @@ class InsIM(FluidSolverBase):
         nu_visc = params.viscosity
         dt = self.time.get_delta_t()
 
+        pdt = jnp.float32 if self.mixed_precision_precond else A_loc.dtype
+        A_loc = A_loc.astype(pdt)
+        Mp_loc = self.Mp_loc.astype(pdt)
+        Mu_diag = self.Mu_diag.astype(pdt)
+        Mp_diag = self.Mp_diag.astype(pdt)
+
         Auu = A_loc[:, :self.nu_loc, :self.nu_loc]
         Aup = A_loc[:, :self.nu_loc, self.nu_loc:]
         Apu = A_loc[:, self.nu_loc:, :self.nu_loc]
@@ -235,24 +247,36 @@ class InsIM(FluidSolverBase):
                                     self.n_u, xp)
             return ucons.restrict(y)
 
-        mu_inv = jnp.where(self.Mu_diag != 0, 1.0 / self.Mu_diag, 1.0)
+        mu_inv = jnp.where(Mu_diag != 0, 1.0 / Mu_diag, 1.0)
 
         def op_Sm(xp):
             y = apply_B(mu_inv * apply_BT(xp))
             return jnp.where(pcons.fixed, xp, y)
 
+        # Jacobi preconditioner for the mass-Schur CG from the cell-local
+        # diagonal of B diag(Mu)^-1 B^T (the reference uses identity,
+        # source/insim.cpp:93-101; a diagonal scaling changes only the
+        # iteration count, not the converged application)
+        sm_diag_loc = jnp.einsum("cnk,ck,cnk->cn", Apu,
+                                 mu_inv[self.cell_dofs_u], Apu)
+        sm_diag = scatter_add(self.n_p, self.cell_dofs_p, sm_diag_loc)
+        sm_dinv = jnp.where(sm_diag > 0, 1.0 / jnp.where(sm_diag > 0,
+                                                         sm_diag, 1.0), 1.0)
+
         op_Mp = pcons.wrap_operator(lambda x: element_matvec(
-            self.Mp_loc, self.cell_dofs_p, self.n_p, x))
-        mp_dinv = jnp.where(self.Mp_diag != 0, 1.0 / self.Mp_diag, 1.0)
+            Mp_loc, self.cell_dofs_p, self.n_p, x))
+        mp_dinv = jnp.where(Mp_diag != 0, 1.0 / Mp_diag, 1.0)
 
         def precond(v):
+            out_dtype = v.dtype
+            v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
             np_norm = jnp.linalg.norm(vp)
             atol_p = jnp.maximum(1e-6 * np_norm, 1e-10)
             tmp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
                      maxiter=self.mp_cg_maxiter).x
             tmp = tmp * (-(nu_visc + gamma * rho))
-            sm = cg(op_Sm, vp, atol=atol_p,
+            sm = cg(op_Sm, vp, M=lambda r: r * sm_dinv, atol=atol_p,
                     maxiter=self.schur_cg_maxiter).x
             dst_p = sm * (-rho / dt) + tmp
             utmp = vu - apply_BT(dst_p)
@@ -260,7 +284,7 @@ class InsIM(FluidSolverBase):
             dst_u = fgmres(op_A, utmp, M=lambda r: r * dinv_A,
                            atol=atol_u, restart=self.a_inner_restart,
                            max_restarts=self.a_inner_restarts).x
-            return jnp.concatenate([dst_u, dst_p])
+            return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
 
         return precond
 
@@ -283,6 +307,48 @@ class InsIM(FluidSolverBase):
         return du, res_norm, res.iters, res.residual
 
     # ------------------------------------------------------------------
+    def make_on_device_stepper(self):
+        """Fully on-device time stepping: lax.fori_loop over steps with the
+        Newton loop as a lax.while_loop — zero host round-trips per step.
+        This is the production/benchmark path; run_one_step remains the
+        instrumented path.  Returns fn(present, n_steps) -> present."""
+        import jax.lax as lax
+        params = self.params
+        cons = self.zero_constraints
+        ucons = self.u_constraints
+        pcons = self.p_constraints
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+
+        def newton_once(eval_pt, present):
+            du, rn, _, _ = self._newton_iter_impl(
+                eval_pt, present, self.indicator, self.fsi_acceleration,
+                self.fsi_stress_cell, self.fsi_acc_nodal, cons, ucons, pcons)
+            return eval_pt + du, rn
+
+        def one_step(present):
+            eval_pt, res0 = newton_once(present, present)
+
+            def cond(s):
+                eval_pt, it, res = s
+                return ((res / res0 > tol) & (res > 1e-11) &
+                        (it < max_it))
+
+            def body(s):
+                eval_pt, it, res = s
+                eval_new, rn = newton_once(eval_pt, present)
+                return (eval_new, it + 1, rn)
+
+            eval_pt, _, _ = lax.while_loop(cond, body, (eval_pt, 1, res0))
+            return eval_pt
+
+        @jax.jit
+        def run_n(present, n_steps):
+            return lax.fori_loop(0, n_steps, lambda i, p: one_step(p),
+                                 present)
+
+        return run_n
+
     def run_one_step(self, apply_nonzero_constraints: bool,
                      assemble_system: bool = True, verbose: bool = True,
                      zero_cons=None, nonzero_cons=None):
