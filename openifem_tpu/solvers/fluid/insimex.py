@@ -31,6 +31,7 @@ class InsIMEX(FluidSolverBase):
     mp_cg_maxiter = 200
     schur_cg_maxiter = 400
     a_cg_maxiter = 1000
+    mixed_precision_precond = False  # f32 preconditioner (see InsIM)
     outer_restart = 30
     outer_max_restarts = 40
 
@@ -178,7 +179,11 @@ class InsIMEX(FluidSolverBase):
         nu_visc = params.viscosity
         dt = self.time.get_delta_t()
         ucons, pcons = self.u_constraints, self.p_constraints
-        Auu, Aup, Apu = self.Auu, self.Aup, self.Apu
+        pdt = jnp.float32 if self.mixed_precision_precond else \
+            self.Auu.dtype
+        Auu = self.Auu.astype(pdt)
+        Aup = self.Aup.astype(pdt)
+        Apu = self.Apu.astype(pdt)
 
         op_A = ucons.wrap_operator(lambda x: element_matvec(
             Auu, self.cell_dofs_u, self.n_u, x))
@@ -198,17 +203,22 @@ class InsIMEX(FluidSolverBase):
                                     self.n_u, xp)
             return ucons.restrict(y)
 
-        mu_inv = jnp.where(self.Mu_diag != 0, 1.0 / self.Mu_diag, 1.0)
+        mu_inv = jnp.where(self.Mu_diag != 0, 1.0 / self.Mu_diag,
+                           1.0).astype(pdt)
 
         def op_Sm(xp):
             y = apply_B(mu_inv * apply_BT(xp))
             return jnp.where(pcons.fixed, xp, y)
 
+        Mp_loc = self.Mp_loc.astype(pdt)
         op_Mp = pcons.wrap_operator(lambda x: element_matvec(
-            self.Mp_loc, self.cell_dofs_p, self.n_p, x))
-        mp_dinv = jnp.where(self.Mp_diag != 0, 1.0 / self.Mp_diag, 1.0)
+            Mp_loc, self.cell_dofs_p, self.n_p, x))
+        mp_dinv = jnp.where(self.Mp_diag != 0, 1.0 / self.Mp_diag,
+                            1.0).astype(pdt)
 
         def precond(v):
+            out_dtype = v.dtype
+            v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
             atol_p = 1e-6 * jnp.linalg.norm(vp)
             tmp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
@@ -221,7 +231,7 @@ class InsIMEX(FluidSolverBase):
             atol_u = 1e-6 * jnp.linalg.norm(vu)
             dst_u = cg(op_A, utmp, M=lambda r: r * dinv_A, atol=atol_u,
                        maxiter=self.a_cg_maxiter).x
-            return jnp.concatenate([dst_u, dst_p])
+            return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
 
         return precond
 

@@ -42,6 +42,8 @@ class SUPGFluidSolver(FluidSolverBase):
     tpp_max_restarts = 2
     outer_restart = 30
     outer_max_restarts = 40
+    # f32 preconditioner inside the f64 flexible outer solve (see InsIM)
+    mixed_precision_precond = False
 
     def setup(self):
         super().setup()
@@ -164,6 +166,8 @@ class SUPGFluidSolver(FluidSolverBase):
     def _make_preconditioner(self, A_loc, ucons, pcons):
         """Washio incomplete-Schur ("Tpp") preconditioner
         (reference: source/mpi_supg_solver.cpp:7-198)."""
+        pdt = jnp.float32 if self.mixed_precision_precond else A_loc.dtype
+        A_loc = A_loc.astype(pdt)
         Avv = A_loc[:, :self.nu_loc, :self.nu_loc]
         Avp = A_loc[:, :self.nu_loc, self.nu_loc:]
         Apv = A_loc[:, self.nu_loc:, :self.nu_loc]
@@ -212,6 +216,8 @@ class SUPGFluidSolver(FluidSolverBase):
                              1.0)
 
         def precond(v):
+            out_dtype = v.dtype
+            v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
             ptmp = vp - apply_Apv(Pvv_inverse(vu))
             # initial guess (reference: source/mpi_supg_solver.cpp:163-171)
@@ -225,7 +231,7 @@ class SUPGFluidSolver(FluidSolverBase):
                            atol=atol, restart=self.tpp_restart,
                            max_restarts=self.tpp_max_restarts).x
             dst_u = Pvv_inverse(vu) - Pvv_inverse(apply_Avp(dst_p))
-            return jnp.concatenate([dst_u, dst_p])
+            return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
 
         return precond
 
