@@ -1,0 +1,272 @@
+"""Spalart-Allmaras (negative-SA variant) RANS turbulence model.
+
+Reference: include/mpi_spalart_allmaras.h, source/mpi_spalart_allmaras.cpp,
+include/mpi_turbulence_model.h (factory at
+source/mpi_turbulence_model.cpp:12-26).
+
+The scalar working viscosity nu~ lives on the fluid's scalar (velocity-
+degree) space; each fluid step is preceded by a Newton solve of the SA
+transport equation; the eddy viscosity mu_t = rho f_v1 nu~ feeds back into
+the fluid assembly (consumed by SCnsIM via `eddy_viscosity_nodal`).
+
+Notes on parity:
+ - the reference's `r` parameter computation drops the result of std::min
+   (an uninitialized-variable bug, source/mpi_spalart_allmaras.cpp:757-769);
+   we implement the evidently intended r = min(nu~/(S~ k^2 d^2), 10).
+ - fixed-wall distance replicates the reference's brute-force minimum over
+   the wall boundary VERTEX cloud (source/mpi_spalart_allmaras.cpp:408-539)
+   as one batched distance matrix.
+ - the FSI moving-wall distance + wall-function path is not yet ported.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...la.constraints import Constraints
+from ...la.krylov import fgmres
+from ...la.operators import element_diag, element_matvec, scatter_add
+from ...parameters import AllParameters
+
+CV1, CV2, CV3 = 7.1, 0.7, 0.9
+CB1, CB2, CT3, CT4, KAPPA = 0.1355, 0.622, 1.2, 0.5, 0.41
+CW2, CW3, CN1 = 0.3, 2.0, 16.0
+SIGMA = 2.0 / 3.0
+CW1 = CB1 / (KAPPA * KAPPA) + (1.0 + CB2) / SIGMA
+
+
+def make_turbulence_model(name: str, fluid):
+    """TurbulenceModelFactory analog
+    (reference: source/mpi_turbulence_model.cpp:12-26)."""
+    if name == "Spalart-Allmaras":
+        return SpalartAllmaras(fluid)
+    raise ValueError(f"Unknown turbulence model: {name}")
+
+
+class SpalartAllmaras:
+    outer_restart = 30
+    outer_max_restarts = 20
+
+    def __init__(self, fluid):
+        self.fluid = fluid
+        self.params: AllParameters = fluid.params
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        """Build the scalar system on the fluid's velocity-degree space."""
+        fluid = self.fluid
+        params = self.params
+        space = fluid.u_space
+        self.space = space
+        self.n = space.n_nodes
+        rdt = real_dtype()
+        d = fluid.dim
+
+        # BCs: type 0 wall -> 0; type 1 inflow -> 5 nu_laminar
+        # (reference: source/mpi_spalart_allmaras.cpp:347-406)
+        dmask = np.zeros(self.n, dtype=bool)
+        dvals = np.zeros(self.n)
+        bmap = space.boundary_node_map()
+        lam_nu = params.viscosity / params.fluid_rho
+        wall_ids = []
+        for bid, typ in params.spalart_allmaras_model_bcs.items():
+            if bid not in bmap:
+                continue
+            nodes = bmap[bid]
+            dmask[nodes] = True
+            dvals[nodes] = 0.0 if typ == 0 else 5.0 * lam_nu
+            if typ == 0:
+                wall_ids.append(bid)
+        from ...fe.space import SystemSpace
+        ssys = SystemSpace([(space, 1)])
+        hidx, hw, hmask = ssys.hanging_tables()
+        self.zero_constraints = Constraints(self.n, hidx, hw, hmask,
+                                            dirichlet_mask=dmask)
+        self.nonzero_constraints = Constraints(self.n, hidx, hw, hmask,
+                                               dirichlet_mask=dmask,
+                                               dirichlet_values=dvals)
+
+        # fixed wall distance: min distance from each support point to the
+        # wall boundary vertex cloud
+        if wall_ids:
+            wnodes = space.boundary_nodes(wall_ids)
+            # the reference uses only mesh VERTICES of wall faces
+            wall_pts = fluid.mesh.vertices[
+                np.asarray([n for n in wnodes if n < fluid.mesh.n_vertices])]
+            dists = np.linalg.norm(
+                space.node_points[:, None, :] - wall_pts[None, :, :], axis=-1)
+            fixed_d = dists.min(axis=1)
+        else:
+            fixed_d = np.full(self.n, 1e10)
+        self.fixed_wall_distance = jnp.asarray(fixed_d, dtype=rdt)
+        self.moving_wall_distance = jnp.full(self.n, np.inf, dtype=rdt)
+
+        # initial condition: coeff * laminar nu with zero-constraint rows
+        # zeroed; the inflow value enters as the first step's constraint
+        # increment (reference: source/mpi_spalart_allmaras.cpp:559-565)
+        ic = (params.spalart_allmaras_initial_condition_coefficient * lam_nu)
+        self.present_solution = self.zero_constraints.distribute(
+            jnp.full(self.n, ic, dtype=rdt))
+        self.eddy_viscosity_nodal = jnp.zeros(self.n, dtype=rdt)
+        self.update_eddy_viscosity()
+
+        self.cell_dofs = jnp.asarray(space.cell_dofs, dtype=jnp.int32)
+        self.Nq = jnp.asarray(fluid.cv_u.N, dtype=rdt)
+        self.gq = jnp.asarray(fluid.cv_u.grad, dtype=rdt)
+        self.JxW = jnp.asarray(fluid.cv_u.JxW, dtype=rdt)
+        self._newton_iter = jax.jit(self._newton_iter_impl)
+
+    # ------------------------------------------------------------------
+    def _assemble(self, eval_pt, present, fluid_solution, wall_d,
+                  indicator):
+        """SA Newton matrix + rhs
+        (reference: source/mpi_spalart_allmaras.cpp:619-860)."""
+        fluid = self.fluid
+        params = self.params
+        d = fluid.dim
+        dt = fluid.time.get_delta_t()
+        N, g, JxW = self.Nq, self.gq, self.JxW
+        cd = self.cell_dofs
+        n_c, n_q, nl, _ = g.shape
+
+        lam_nu_f = params.viscosity / params.fluid_rho
+        lam_nu_s = 1.0 / params.fluid_rho  # artificial fluid (mu = 1)
+        lam_nu = (indicator[:, None] * lam_nu_s +
+                  (1 - indicator[:, None]) * lam_nu_f)
+
+        u = fluid_solution[:fluid.n_u].reshape(-1, d)
+        ul = u[np.asarray(fluid.u_space.cell_dofs)]
+        uq = jnp.einsum("ql,cla->cqa", N, ul)
+        Gq = jnp.einsum("cqlx,cla->cqax", g, ul)
+        # vorticity magnitude |curl u|
+        if d == 2:
+            S = jnp.abs(Gq[..., 1, 0] - Gq[..., 0, 1])
+        else:
+            wx = Gq[..., 2, 1] - Gq[..., 1, 2]
+            wy = Gq[..., 0, 2] - Gq[..., 2, 0]
+            wz = Gq[..., 1, 0] - Gq[..., 0, 1]
+            S = jnp.sqrt(wx ** 2 + wy ** 2 + wz ** 2)
+
+        nu_p = jnp.einsum("ql,cl->cq", N, present[cd])      # nu~ at t_n
+        nu_c = jnp.einsum("ql,cl->cq", N, eval_pt[cd])
+        gnu_c = jnp.einsum("cqlx,cl->cqx", g, eval_pt[cd])
+        dq = jnp.einsum("ql,cl->cq", N, wall_d[cd])
+        dq = jnp.maximum(dq, 1e-12)
+
+        chi = nu_p / lam_nu
+        ft2 = CT3 * jnp.exp(-CT4 * chi * chi)
+        fv1 = chi ** 3 / (chi ** 3 + CV1 ** 3)
+        fv2 = 1.0 - chi / (1.0 + chi * fv1)
+        S_bar = nu_p / (KAPPA ** 2 * dq ** 2) * fv2
+        S_tilde = jnp.where(
+            S_bar >= -CV2 * S, S + S_bar,
+            S + S * (CV2 ** 2 * S - CV3 * S_bar) /
+            ((CV3 - 2 * CV2) * S - S_bar))
+        r = jnp.where(jnp.abs(S_tilde) > 1e-8,
+                      jnp.minimum(nu_p / (jnp.where(
+                          jnp.abs(S_tilde) > 1e-8, S_tilde, 1.0) *
+                          KAPPA ** 2 * dq ** 2), 10.0), 10.0)
+        gg = r + CW2 * (r ** 6 - r)
+        fw = gg * ((1 + CW3 ** 6) / (gg ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
+
+        P = jnp.where(nu_p >= 0, CB1 * (1 - ft2) * S_tilde,
+                      CB1 * (1 - CT3) * S)
+        D = jnp.where(nu_p >= 0,
+                      (CW1 * fw - CB1 / KAPPA ** 2 * ft2) / dq ** 2,
+                      -CW1 / dq ** 2)
+        fn = jnp.where(nu_p >= 0, 1.0,
+                       (CN1 + chi ** 3) / (CN1 - chi ** 3))
+
+        diff = lam_nu + fn * nu_p
+        ugj = jnp.einsum("cqa,cqja->cqj", uq, g)   # u . grad N_j
+
+        A = (jnp.einsum("cq,qi,qj->cij", JxW / dt, N, N)
+             + jnp.einsum("cq,qi,cqj->cij", JxW, N, ugj)
+             + jnp.einsum("cq,cqix,cqjx->cij", JxW * diff / SIGMA, g, g)
+             - (2 * CB2 / SIGMA) * jnp.einsum(
+                 "cq,qi,cqjx,cqx->cij", JxW, N, g, gnu_c)
+             - jnp.einsum("cq,qi,qj->cij", JxW * P, N, N)
+             + 2 * jnp.einsum("cq,qi,qj->cij", JxW * D * nu_c, N, N))
+
+        ug_nu = jnp.einsum("cqa,cqa->cq", uq, gnu_c)
+        res = ((nu_c - nu_p) / dt + ug_nu - P * nu_c + D * nu_c * nu_c)
+        r_i = -(jnp.einsum("cq,qi->ci", JxW * res, N)
+                + jnp.einsum("cq,cqix,cqx->ci", JxW * diff / SIGMA, g, gnu_c)
+                - (CB2 / SIGMA) * jnp.einsum(
+                    "cq,qi->ci", JxW * jnp.einsum("cqx,cqx->cq", gnu_c,
+                                                  gnu_c), N))
+        rhs = scatter_add(self.n, cd, r_i)
+        return A, rhs
+
+    def _newton_iter_impl(self, eval_pt, present, fluid_solution, wall_d,
+                          indicator, cons):
+        A_loc, rhs = self._assemble(eval_pt, present, fluid_solution, wall_d,
+                                    indicator)
+        b = cons.condense_rhs(rhs)
+        res_norm = jnp.linalg.norm(b)
+        op = cons.wrap_operator(
+            lambda x: element_matvec(A_loc, self.cell_dofs, self.n, x))
+        diag = jnp.where(cons.fixed, 1.0,
+                         element_diag(A_loc, self.cell_dofs, self.n))
+        dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+        res = fgmres(op, b, M=lambda r_: r_ * dinv,
+                     atol=jnp.maximum(1e-8 * res_norm, 1e-12),
+                     restart=self.outer_restart,
+                     max_restarts=self.outer_max_restarts)
+        du = cons.distribute(res.x)
+        return du, res_norm, res.iters
+
+    # ------------------------------------------------------------------
+    def run_one_step(self, apply_nonzero_constraints: bool,
+                     verbose: bool = False):
+        """Newton loop (reference: source/mpi_spalart_allmaras.cpp:282-345).
+        Couples to the fluid's present solution and indicator field."""
+        params = self.params
+        fluid = self.fluid
+        wall_d = jnp.minimum(self.fixed_wall_distance,
+                             self.moving_wall_distance)
+        eval_pt = self.present_solution
+        if apply_nonzero_constraints:
+            eval_pt = self.nonzero_constraints.apply_increment(eval_pt)
+
+        current_res = 1.0
+        initial_res = 1.0
+        rel = 1.0
+        it = 0
+        while rel > params.fluid_tolerance and current_res > 1e-14:
+            if it >= params.fluid_max_iterations:
+                raise RuntimeError("Too many Newton iterations!")
+            du, rn, iters = self._newton_iter(
+                eval_pt, self.present_solution, fluid.present_solution,
+                wall_d, fluid.indicator, self.zero_constraints)
+            current_res = float(rn)
+            eval_pt = eval_pt + du
+            if it == 0:
+                initial_res = max(current_res, 1e-300)
+            rel = current_res / initial_res
+            if verbose:
+                print(f" SA ITR = {it} ABS_RES = {current_res:.6e} "
+                      f"GMRES_ITR = {int(iters)}")
+            it += 1
+        self.present_solution = eval_pt
+        self.update_eddy_viscosity()
+
+    def update_eddy_viscosity(self):
+        """mu_t = rho f_v1 nu~
+        (reference: source/mpi_spalart_allmaras.cpp:891-914)."""
+        params = self.params
+        lam_nu = params.viscosity / params.fluid_rho
+        chi = self.present_solution / lam_nu
+        fv1 = chi ** 3 / (chi ** 3 + CV1 ** 3)
+        self.eddy_viscosity_nodal = (fv1 * self.present_solution *
+                                     params.fluid_rho)
+        # feed back into the fluid solver (SCnsIM consumes this)
+        self.fluid.eddy_viscosity_nodal = self.eddy_viscosity_nodal
+
+    def update_moving_wall_distance(self, distances):
+        """FSI hook: per-node distance to the moving solid boundary."""
+        self.moving_wall_distance = jnp.asarray(distances,
+                                                dtype=real_dtype())
