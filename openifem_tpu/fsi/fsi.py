@@ -147,6 +147,56 @@ class FSI:
         self.solid.fsi_traction = traction
 
     # ------------------------------------------------------------------
+    def refine_mesh(self, min_level: int, max_level: int,
+                    verbose: bool = False):
+        """Refine fluid cells within one diameter of the moved solid
+        boundary, capped at max_level, with solution transfer
+        (reference: source/fsi.cpp:385-456; coarsening below the initial
+        level never triggers in the reference tests and is not performed)."""
+        import numpy as np
+        from ..fe.transfer import transfer_nodal_field
+        fluid, solid = self.fluid, self.solid
+        moved = np.asarray(self._solid_moved_verts())
+        # solid boundary face centers on the moved configuration
+        fv = solid.fv
+        from ..mesh.mesh import FACE_VERTICES
+        centers = []
+        for c, f in zip(np.asarray(fv.cells), np.asarray(fv.faces)):
+            vs = [int(solid.mesh.cells[c, v])
+                  for v in FACE_VERTICES[solid.dim][f]]
+            centers.append(moved[vs].mean(axis=0))
+        bpts = np.array(centers)
+
+        fmesh = fluid.mesh
+        fc = fmesh.cell_centers()
+        diam = fmesh.cell_diameters()
+        dist = np.linalg.norm(fc[:, None, :] - bpts[None, :, :],
+                              axis=-1).min(axis=1)
+        flags = (dist < diam) & (fmesh.level < max_level)
+        if not flags.any():
+            return
+        old_mesh = fmesh
+        old_u_space, old_p_space = fluid.u_space, fluid.p_space
+        old_solution = fluid.present_solution
+        n_u_old = fluid.n_u
+
+        fluid.mesh = fmesh.refine(flags)
+        fluid.setup()
+        if verbose:
+            print(f"FSI refine: {old_mesh.n_cells} -> "
+                  f"{fluid.mesh.n_cells} fluid cells")
+        u_old = old_solution[:n_u_old].reshape(-1, fluid.dim)
+        u_new = transfer_nodal_field(old_mesh, old_u_space, u_old,
+                                     fluid.u_space.node_points)
+        p_new = transfer_nodal_field(old_mesh, old_p_space,
+                                     old_solution[n_u_old:],
+                                     fluid.p_space.node_points)
+        sol = jnp.concatenate([u_new.reshape(-1), p_new])
+        fluid.present_solution = fluid.nonzero_constraints.distribute(sol)
+        fluid.update_stress()
+        self._setup_coupling()
+
+    # ------------------------------------------------------------------
     def run(self, verbose: bool = True):
         """reference: source/fsi.cpp:459-516."""
         params = self.params
@@ -157,6 +207,12 @@ class FSI:
             params.global_refinements[0])
         self.fluid.setup()
         self._setup_coupling()
+
+        if params.refinement_interval < params.end_time:
+            # initial interface refinement x2 (reference: fsi.cpp:499-506)
+            gr = params.global_refinements[0]
+            self.refine_mesh(gr, gr + 1, verbose=verbose)
+            self.refine_mesh(gr, gr + 1, verbose=verbose)
 
         if verbose:
             print(f"FSI: fluid cells/dofs [{self.fluid.mesh.n_cells}, "
@@ -174,6 +230,9 @@ class FSI:
                                     nonzero_cons=nonzero_ext)
             first_step = False
             self.time.increment()
+            if self.time.time_to_refine():
+                gr = params.global_refinements[0]
+                self.refine_mesh(gr, gr + 1, verbose=verbose)
 
 
 class _FSIKernels:

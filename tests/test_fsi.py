@@ -113,3 +113,22 @@ def test_fsi_leaflet_full():
     d = np.asarray(solid.current_displacement).reshape(-1, 2)
     assert np.isfinite(d).all()
     assert 0.01 < d[:, 0].max() < 0.5
+
+
+def test_fsi_interface_refinement():
+    """Interface-distance AMR with solution transfer (reference:
+    source/fsi.cpp:385-456,499-506): triggered by a refinement interval
+    smaller than the end time."""
+    p = AllParameters.from_file(f"{REF}/fsi_cavity/fsi_cavity.prm")
+    p.end_time = 0.03
+    p.refinement_interval = 0.02  # < end time -> initial x2 refinement
+    p.global_refinements = [3, 1]
+    fluid = InsIM(generators.hyper_cube(0.0, 1.0, dim=2), p)
+    solid = HyperElasticity(generators.sphere([0.6, 0.6], 0.1, dim=2), p)
+    fsi = FSI(fluid, solid, p, use_dirichlet_bc=False)
+    fsi.run(verbose=False)
+    # the fluid mesh was refined near the ball
+    assert fluid.mesh.n_cells > 64
+    assert fluid.mesh.level.max() == 4
+    u = fluid.velocity_part()
+    assert np.isfinite(u).all()
