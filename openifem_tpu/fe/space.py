@@ -37,6 +37,14 @@ class FESpace:
         nl = n1 ** dim
         n_c = mesh.n_cells
 
+        # fast path: native C++ dof numbering (openifem_tpu/native)
+        from ..native import build_cell_dofs as _native_cell_dofs
+        native = _native_cell_dofs(mesh.cells, dim, k, mesh.n_vertices)
+        if native is not None:
+            self.cell_dofs, self.n_nodes = native
+            self._finish_nodes()
+            return
+
         # entity tables
         edge_ids: Dict[Tuple[int, int], int] = {}
         face_ids: Dict[frozenset, int] = {}
@@ -114,6 +122,24 @@ class FESpace:
 
         self.n_nodes = n_nodes
         self.cell_dofs = cell_dofs
+        self._finish_nodes()
+
+    def _finish_nodes(self):
+        mesh, k, dim = self.mesh, self.degree, self.dim
+        n1 = k + 1
+        nl = n1 ** dim
+        cell_dofs = self.cell_dofs
+        n_nodes = self.n_nodes
+        local_unit = self.shapes.local_nodes()
+        local_kind = []
+        for l in range(nl):
+            idx = []
+            rem = l
+            for _ in range(dim):
+                idx.append(rem % n1)
+                rem //= n1
+            interior_axes = [d for d in range(dim) if 0 < idx[d] < k]
+            local_kind.append((idx, interior_axes))
 
         # node physical positions via the (bi/tri)linear geometry map
         geo = QkShapes(1, dim)

@@ -240,6 +240,11 @@ def _orient_hex(V, c):
 
 
 def _mark_exposed_boundary(m: Mesh, bid: int = 0):
+    from ..native import face_occurrences
+    occ = face_occurrences(m.cells, m.dim)
+    if occ is not None:
+        m.boundary_id[occ == 1] = bid
+        return
     fmap = m._face_map()
     fv = FACE_VERTICES[m.dim]
     for c in range(m.n_cells):
