@@ -104,3 +104,64 @@ def test_scnsex_pulse_short():
     f.run(verbose=False)
     vmax = float(f.velocity_part().max())
     assert abs(vmax - 6.0) / 6.0 < 1e-3
+
+
+def test_fluid_initial_condition():
+    """set_initial_condition with a pressure ramp; after one tiny step the
+    max pressure stays 1e4 (reference: tests/fluid_initial_condition_mpi,
+    rtol 1e-8)."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_initial_condition_mpi/fluid_initial_condition_mpi.prm")
+    mesh = generators.subdivided_hyper_rectangle(
+        [150, 20], [0, 0], [15.0, 2.0])
+
+    def ic(points, component):
+        out = np.zeros(len(points))
+        if component == 2:
+            x = points[:, 0]
+            out = np.where((x > 4.0) & (x < 5.0), 1e4 * (x - 4.0),
+                           np.where((x >= 5.0) & (x < 12.0), 1e4, 0.0))
+        return out
+
+    f = SCnsIM(mesh, p)
+    f.set_initial_condition(ic)
+    f.run(verbose=False)
+    pmax = float(f.pressure_part().max())
+    assert abs(pmax - 1e4) / 1e4 < 1e-8
+
+
+@pytest.mark.slow
+def test_fluid_body_force():
+    """SCnsIM with a localized body force + PML: pressure difference
+    rho*g*h = 1e3 (reference: tests/fluid_body_force_mpi/...cpp:75-81,
+    rtol 1e-3)."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_body_force_mpi/fluid_body_force_mpi.prm")
+    rho = 1.3e-3
+
+    def body_force(points):
+        out = np.zeros_like(points)
+        x = points[:, 0]
+        out[:, 0] = np.where((x > 3.5 - 5e-4) & (x < 4.5 + 5e-4),
+                             1e3 / rho, 0.0)
+        return out
+
+    def sigma(points):
+        sigma_max, pml_len = 340000.0, 3.0
+        x = points[:, 0]
+        s = np.zeros(len(points))
+        for b in (0.0, 8.0):
+            m = np.abs(x - b) < pml_len
+            s = np.where(m, sigma_max * ((pml_len - np.abs(x - b)) /
+                                         pml_len) ** 4, s)
+        return s
+
+    mesh = generators.subdivided_hyper_rectangle([160, 30], [0, 0],
+                                                 [8.0, 2.0])
+    f = SCnsIM(mesh, p)
+    f.set_body_force(body_force)
+    f.set_sigma_pml_field(sigma)
+    f.run(verbose=False)
+    pr = f.pressure_part()
+    pdiff = float(pr.max() - pr.min())
+    assert abs(pdiff - 1e3) / 1e3 < 1e-3

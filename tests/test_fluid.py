@@ -140,3 +140,39 @@ def test_fluid_cylinder_insimex_golden():
     pmax = float(f.pressure_part().max())
     assert abs(vmax - 0.4081072) / 0.4081072 < 1e-3
     assert abs(pmax - 0.1539) / 0.1539 < 1e-3
+
+
+def _cylinder_bv_t(points, component, time):
+    return _cylinder_bv(points, component)
+
+
+def test_fluid_cylinder_mpi_one_step():
+    """One impulsive step on the refine-3 cylinder mesh (reference:
+    tests/fluid_cylinder_mpi/...cpp:91-94: vmax=0.374235, pmax=46.5226,
+    rtol 1e-3)."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_cylinder_mpi/fluid_cylinder_mpi.prm")
+    mesh = generators.flow_around_cylinder(2)
+    f = InsIM(mesh, p)
+    f.add_hard_coded_boundary_condition(0, _cylinder_bv_t)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    pmax = float(f.pressure_part().max())
+    assert abs(vmax - 0.374235) / 0.374235 < 1e-3
+    assert abs(pmax - 46.5226) / 46.5226 < 1e-3
+
+
+def test_fluid_cylinder_mpi_insimex_one_step():
+    """reference: tests/fluid_cylinder_mpi_insimex/...cpp:92-93:
+    vmax=0.374062, pmax=46.5308."""
+    from openifem_tpu.solvers.fluid import InsIMEX
+    p = AllParameters.from_file(
+        f"{REF}/fluid_cylinder_mpi_insimex/fluid_cylinder_mpi_insimex.prm")
+    mesh = generators.flow_around_cylinder(2)
+    f = InsIMEX(mesh, p)
+    f.add_hard_coded_boundary_condition(0, _cylinder_bv_t)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    pmax = float(f.pressure_part().max())
+    assert abs(vmax - 0.374062) / 0.374062 < 1e-3
+    assert abs(pmax - 46.5308) / 46.5308 < 1e-3
