@@ -70,3 +70,43 @@ def test_control_volume_fsi(tmp_path, monkeypatch):
     assert last["present_KE"] >= 0
     import os
     assert os.path.exists("control_volume_analysis.csv")
+
+
+def _leaflet_mpi_setup(p):
+    L, H, a, b, h, U = 4.0, 1.0, 0.1, 0.4, 0.05, 1.5
+
+    def bv(points, component):
+        out = np.zeros(len(points))
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            out[m] = U - 4 * U / (H * H) * (points[m, 1] - H / 2) ** 2
+        return out
+
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
+    centers = fluid_mesh.cell_centers()
+    flags = ((centers[:, 0] >= L / 4 - 2 * a) &
+             (centers[:, 0] <= L / 4 + 3 * a) & (centers[:, 1] < H / 2))
+    fluid_mesh = fluid_mesh.refine(flags)
+    fluid = SCnsIM(fluid_mesh, p, bc=bv)
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [int(a / h), int(b / h)], [L / 4, 0.0], [a + L / 4, b])
+    solid = SharedHyperElasticity(solid_mesh, p)
+    return fluid, solid
+
+
+def test_fsi_leaflet_mpi_truncated():
+    """MPI-semantics leaflet (reference: tests/fsi_leaflet_mpi: SCnsIM Q1/Q1
+    + SharedHyperElasticity, Dirichlet coupling, hanging-node fluid mesh),
+    truncated for CI; reference asserts completion only."""
+    p = AllParameters.from_file(
+        f"{REF}/fsi_leaflet_mpi/fsi_leaflet_mpi.prm")
+    p.end_time = 0.02
+    fluid, solid = _leaflet_mpi_setup(p)
+    fsi = MPIFSI(fluid, solid, p, use_dirichlet_bc=True)
+    fsi.run(verbose=False)
+    d = np.asarray(solid.current_displacement).reshape(-1, 2)
+    assert np.isfinite(d).all()
+    # the leaflet bends downstream
+    assert 1e-5 < d[:, 0].max() < 0.5
+    assert np.isfinite(fluid.velocity_part()).all()
