@@ -219,15 +219,22 @@ class FSI:
                   f"{self.fluid.n_dofs}], solid cells/dofs "
                   f"[{self.solid.mesh.n_cells}, {self.solid.n_dofs}]")
 
+        from ..utils.timer import Timer
+        self.timer = Timer("FSI")
         first_step = True
         while self.time.end() - self.time.current() > 1e-12:
-            self.find_solid_bc()
-            self.solid.run_one_step(first_step)
-            self.update_solid_box_and_indicator()
-            zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
-            self.fluid.run_one_step(True, verbose=verbose,
-                                    zero_cons=zero_ext,
-                                    nonzero_cons=nonzero_ext)
+            with self.timer.scope("Find solid BC"):
+                self.find_solid_bc()
+            with self.timer.scope("Run solid solver"):
+                self.solid.run_one_step(first_step)
+            with self.timer.scope("Update indicator"):
+                self.update_solid_box_and_indicator()
+            with self.timer.scope("Find fluid BC"):
+                zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
+            with self.timer.scope("Run fluid solver"):
+                self.fluid.run_one_step(True, verbose=verbose,
+                                        zero_cons=zero_ext,
+                                        nonzero_cons=nonzero_ext)
             first_step = False
             self.time.increment()
             if self.time.time_to_refine():

@@ -36,6 +36,8 @@ class FluidSolverBase:
         self.time = Time(params.end_time, params.time_step,
                          params.output_interval, params.refinement_interval,
                          params.save_interval)
+        from ...utils.timer import Timer
+        self.timer = Timer(type(self).__name__)
         self._setup_done = False
         self.body_force = None          # set_body_force analog
         self.initial_condition = None   # set_initial_condition analog

@@ -373,12 +373,13 @@ class InsIM(FluidSolverBase):
         while rel_res > params.fluid_tolerance and current_res > 1e-11:
             if it >= params.fluid_max_iterations:
                 raise RuntimeError("Too many Newton iterations!")
-            du, res_norm, gmres_iters, gmres_res = self._newton_iter(
-                eval_pt, self.present_solution, self.indicator,
-                self.fsi_acceleration, self.fsi_stress_cell,
-                self.fsi_acc_nodal, zero_cons, self._u_cons_of(zero_cons),
-                self.p_constraints)
-            current_res = float(res_norm)
+            with self.timer.scope("Assemble + solve (Newton iter)"):
+                du, res_norm, gmres_iters, gmres_res = self._newton_iter(
+                    eval_pt, self.present_solution, self.indicator,
+                    self.fsi_acceleration, self.fsi_stress_cell,
+                    self.fsi_acc_nodal, zero_cons,
+                    self._u_cons_of(zero_cons), self.p_constraints)
+                current_res = float(res_norm)
             if (prev_res is not None and int(gmres_iters) == 0
                     and current_res >= prev_res * (1 - 1e-12)):
                 # fully stagnated at machine-level residual
@@ -397,7 +398,8 @@ class InsIM(FluidSolverBase):
         self.newton_iters = it
         self.solution_increment = eval_pt - self.present_solution
         self.present_solution = eval_pt
-        self.update_stress()
+        with self.timer.scope("Update stress", sync=self.present_solution):
+            self.update_stress()
 
     def run(self, verbose: bool = True):
         """reference: source/insim.cpp:445-459."""
