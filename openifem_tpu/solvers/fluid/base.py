@@ -222,6 +222,37 @@ class FluidSolverBase:
         return self.present_solution
 
     # ------------------------------------------------------------------
+    def refine_mesh(self, min_level: int, max_level: int,
+                    verbose: bool = False):
+        """Kelly-driven standalone AMR with solution transfer
+        (reference: source/fluid_solver.cpp:215-265; refinement half of
+        refine_and_coarsen_fixed_fraction(0.6, 0.4) — coarsening below the
+        initial level is not performed)."""
+        from ...fe.kelly import kelly_estimate, refine_fraction_flags
+        from ...fe.transfer import transfer_nodal_field
+        eta = kelly_estimate(self.u_space, np.asarray(self.present_solution),
+                             n_components=self.dim, component_offset=0)
+        flags = refine_fraction_flags(eta, 0.6)
+        flags &= self.mesh.level < max_level
+        if not flags.any():
+            return
+        old_mesh, old_u, old_p = self.mesh, self.u_space, self.p_space
+        old_solution = self.present_solution
+        n_u_old = self.n_u
+        self.mesh = self.mesh.refine(flags)
+        self.setup()
+        if verbose:
+            print(f"Kelly refine: {old_mesh.n_cells} -> "
+                  f"{self.mesh.n_cells} cells")
+        u_new = transfer_nodal_field(
+            old_mesh, old_u, old_solution[:n_u_old].reshape(-1, self.dim),
+            self.u_space.node_points)
+        p_new = transfer_nodal_field(old_mesh, old_p, old_solution[n_u_old:],
+                                     self.p_space.node_points)
+        sol = jnp.concatenate([u_new.reshape(-1), p_new])
+        self.present_solution = self.nonzero_constraints.distribute(sol)
+        self.update_stress()
+
     def output_results(self, step: Optional[int] = None,
                        prefix: str = "fluid"):
         """VTU output with velocity/pressure/indicator/stress

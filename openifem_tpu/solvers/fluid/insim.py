@@ -400,6 +400,10 @@ class InsIM(FluidSolverBase):
         self.present_solution = eval_pt
         with self.timer.scope("Update stress", sync=self.present_solution):
             self.update_stress()
+        # standalone Kelly AMR (reference: source/insim.cpp:450-453)
+        if (self.params.simulation_type == "Fluid"
+                and self.time.time_to_refine()):
+            self.refine_mesh(1, 3, verbose=verbose)
 
     def run(self, verbose: bool = True):
         """reference: source/insim.cpp:445-459."""

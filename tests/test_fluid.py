@@ -176,3 +176,22 @@ def test_fluid_cylinder_mpi_insimex_one_step():
     pmax = float(f.pressure_part().max())
     assert abs(vmax - 0.374062) / 0.374062 < 1e-3
     assert abs(pmax - 46.5308) / 46.5308 < 1e-3
+
+
+def test_standalone_kelly_amr():
+    """Kelly-driven AMR during a standalone fluid run (reference:
+    source/insim.cpp:450-453): refinement concentrates near the lid shear
+    layer and the run continues stably."""
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.06
+    p.refinement_interval = 0.04  # refine after step 4
+    p.global_refinements[0] = 2   # level 2 < the reference's max level 3
+    mesh = generators.hyper_cube(0.0, 1.0, dim=2)
+    f = InsIM(mesh, p)
+    f.run(verbose=False)
+    assert f.mesh.n_cells > 16          # refinement happened
+    assert f.mesh.level.max() == 3
+    centers = f.mesh.cell_centers()
+    fine = centers[f.mesh.level == 3]
+    assert fine[:, 1].mean() > 0.6      # concentrated near the lid
+    assert np.isfinite(f.velocity_part()).all()
