@@ -1,0 +1,257 @@
+"""Meshfree hypo-elastic solid (RKPM + explicit RK4).
+
+Reference: include/hypo_elasticity.h, source/hypo_elasticity.cpp — a wrapper
+over the external optional `rkpm-rk4` C++ library (OPENIFEM_WITH_rkpm-rk4,
+off by default; its tests are smoke tests).  This is a native JAX
+re-implementation of the same structure:
+
+ - particles at mesh vertices carry mass/velocity/position
+   (reference: source/hypo_elasticity.cpp:144-185)
+ - integration points at the cells' Gauss points carry stress and quadrature
+   weights (reference: source/hypo_elasticity.cpp:186-210)
+ - RKPM shape functions with linear reproducing conditions (cubic-spline
+   window, corrected with the moment matrix) evaluated particle->quad-point;
+   precomputed once as dense (n_quad, n_particles) tables so each RK4 stage
+   is two matmuls (MXU path)
+ - hypo-elastic rate form with Jaumann objectivity:
+     sigma_dot = lambda tr(d) I + 2 mu d + w sigma - sigma w
+ - classic RK4 in time, FSI traction at boundary quadrature points
+
+The FE-facing interface matches the other solid solvers (current_
+displacement/velocity/acceleration at vertex dofs), so the FSI couplers and
+VTU output work unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import real_dtype
+from ...fe.fevalues import cell_values, face_values
+from ...fe.space import FESpace, SystemSpace
+from ...parameters import AllParameters, component_flag_to_mask
+from ...utils.timectl import Time
+from .materials import lame_parameters
+
+
+def cubic_spline(q):
+    """Cubic spline window W(q), support q < 2 (reference:
+    source/utilities.cpp:103-123 uses the same kernel family)."""
+    return np.where(
+        q < 1.0, 1.0 - 1.5 * q ** 2 + 0.75 * q ** 3,
+        np.where(q < 2.0, 0.25 * (2.0 - q) ** 3, 0.0))
+
+
+def rkpm_shapes(points, particles, h):
+    """Linear-consistency RKPM shape values and gradients.
+
+    points: (n_q, d) evaluation points; particles: (n_p, d); h: smoothing
+    length. Returns (psi (n_q, n_p), dpsi (n_q, n_p, d)) with
+    sum_j psi = 1, sum_j psi x_j = x, and exact gradients of linears."""
+    d = points.shape[1]
+    rel = (particles[None, :, :] - points[:, None, :]) / h  # (q, p, d)
+    q = np.linalg.norm(rel, axis=-1)
+    w = cubic_spline(q)                                     # (q, p)
+    # basis P = [1, xi_1..xi_d]
+    P = np.concatenate([np.ones(rel.shape[:2] + (1,)), rel], axis=-1)
+    M = np.einsum("qpa,qpb,qp->qab", P, P, w)               # (q, d+1, d+1)
+    Minv = np.linalg.inv(M + 1e-12 * np.eye(d + 1))
+    e0 = np.zeros(d + 1)
+    e0[0] = 1.0
+    c = np.einsum("qab,b->qa", Minv, e0)                    # reproduce 1
+    psi = np.einsum("qa,qpa,qp->qp", c, P, w)
+    dpsi = np.zeros(points.shape[:1] + particles.shape[:1] + (d,))
+    for k in range(d):
+        ek = np.zeros(d + 1)
+        ek[k + 1] = 1.0
+        ck = np.einsum("qab,b->qa", Minv, ek)
+        # implicit-gradient RKPM: derivative reproducing condition
+        dpsi[:, :, k] = np.einsum("qa,qpa,qp->qp", ck, P, w) / h
+    return psi, dpsi
+
+
+class HypoElasticity:
+    """FE-interfaced meshfree hypo-elastic solver."""
+
+    h_factor = 1.3  # smoothing length / particle spacing
+
+    def __init__(self, mesh, params: AllParameters):
+        self.mesh = mesh
+        self.params = params
+        self.dim = mesh.dim
+        self.time = Time(params.end_time, params.time_step,
+                         params.output_interval, params.refinement_interval,
+                         params.save_interval)
+        self._setup_done = False
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        params, mesh = self.params, self.mesh
+        d = self.dim
+        rdt = real_dtype()
+        # FE facade (vertex dofs) so FSI/IO see a standard solid solver
+        self.space = FESpace(mesh, 1)
+        self.sys = SystemSpace([(self.space, d)])
+        self.n_dofs = self.sys.n_dofs
+        nq = params.solid_degree + 1
+        self.cv = cell_values(self.space, nq)
+        self.fv = face_values(self.space, nq)
+
+        X = mesh.vertices                       # particles (n_p, d)
+        n_p = len(X)
+        qpts = self.cv.xq.reshape(-1, d)        # integration points
+        qw = self.cv.JxW.reshape(-1)
+        dx = float(np.mean(mesh.cell_diameters())) / np.sqrt(d)
+        h = self.h_factor * dx
+
+        psi_q, dpsi_q = rkpm_shapes(qpts, X, h)
+        # lumped particle masses from quadrature of the density
+        m = np.einsum("q,qp->p", qw * params.solid_rho, psi_q)
+        self.mass = jnp.asarray(m, dtype=rdt)
+        self.psi_q = jnp.asarray(psi_q, dtype=rdt)
+        self.dpsi_q = jnp.asarray(dpsi_q, dtype=rdt)
+        self.qw = jnp.asarray(qw, dtype=rdt)
+
+        # boundary quadrature (for traction)
+        if self.fv is not None:
+            bq = self.fv.xq.reshape(-1, d)
+            psi_b, _ = rkpm_shapes(bq, X, h)
+            self.psi_b = jnp.asarray(psi_b, dtype=rdt)
+            self.bqw = jnp.asarray(self.fv.JxW.reshape(-1), dtype=rdt)
+            self.fsi_traction = jnp.zeros((len(self.fv.cells), d), dtype=rdt)
+
+        # homogeneous Dirichlet mask at particles
+        fixed = np.zeros((n_p, d), dtype=bool)
+        bmap = self.space.boundary_node_map()
+        for bid, flag in params.solid_dirichlet_bcs.items():
+            if bid not in bmap:
+                continue
+            mask = component_flag_to_mask(flag, d)
+            for dd in range(d):
+                if mask[dd]:
+                    fixed[bmap[bid], dd] = True
+        self.fixed = jnp.asarray(fixed)
+
+        lam, mu = lame_parameters(params.E[0], params.nu[0])
+        self._lam, self._mu = lam, mu
+
+        z = jnp.zeros((n_p, d), dtype=rdt)
+        self.x = jnp.asarray(X, dtype=rdt)
+        self.v = z
+        self.sigma = jnp.zeros((len(qpts), d, d), dtype=rdt)
+        self.n_p = n_p
+        self._rk4_step = jax.jit(self._rk4_step_impl)
+        self._setup_done = True
+        self._sync()
+
+    # ------------------------------------------------------------------
+    def _rates(self, v, sigma, traction_q):
+        """(v_dot at particles, sigma_dot at quad points) given state."""
+        params = self.params
+        d = self.dim
+        lam, mu = self._lam, self._mu
+        # velocity gradient at quad points: L = sum_j v_j (x) dpsi_j
+        L = jnp.einsum("qpd,pa->qad", self.dpsi_q, v)
+        eps_dot = 0.5 * (L + jnp.swapaxes(L, 1, 2))
+        w_spin = 0.5 * (L - jnp.swapaxes(L, 1, 2))
+        I = jnp.eye(d, dtype=v.dtype)
+        sig_dot = (lam * jnp.trace(eps_dot, axis1=1, axis2=2)[:, None, None]
+                   * I + 2 * mu * eps_dot
+                   + jnp.einsum("qab,qbc->qac", w_spin, sigma)
+                   - jnp.einsum("qab,qbc->qac", sigma, w_spin))
+        # internal nodal force: f_p = -sum_q V_q sigma_q . dpsi_p(X_q)
+        f = -jnp.einsum("q,qab,qpb->pa", self.qw, sigma, self.dpsi_q)
+        g = jnp.zeros(d, dtype=v.dtype).at[:len(params.gravity)].set(
+            jnp.asarray(params.gravity[:d], dtype=v.dtype))
+        f = f + self.mass[:, None] * g
+        if traction_q is not None:
+            f = f + jnp.einsum("b,bp,ba->pa", self.bqw, self.psi_b,
+                               traction_q)
+        a = f / self.mass[:, None]
+        a = jnp.where(self.fixed, 0.0, a)
+        return a, sig_dot
+
+    def _rk4_step_impl(self, x, v, sigma, traction_q):
+        dt = self.time.get_delta_t()
+
+        def f(state):
+            x_, v_, s_ = state
+            a, sd = self._rates(v_, s_, traction_q)
+            return v_, a, sd
+
+        k1 = f((x, v, sigma))
+        k2 = f((x + dt / 2 * k1[0], v + dt / 2 * k1[1],
+                sigma + dt / 2 * k1[2]))
+        k3 = f((x + dt / 2 * k2[0], v + dt / 2 * k2[1],
+                sigma + dt / 2 * k2[2]))
+        k4 = f((x + dt * k3[0], v + dt * k3[1], sigma + dt * k3[2]))
+        x_n = x + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        v_n = v + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        v_n = jnp.where(self.fixed, 0.0, v_n)
+        s_n = sigma + dt / 6 * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        a_n = k4[1]
+        return x_n, v_n, s_n, a_n
+
+    # ------------------------------------------------------------------
+    def run_one_step(self, first_step: bool = False):
+        """One RK4 step (reference: source/hypo_elasticity.cpp:34-94:
+        m_body->step() + synchronize())."""
+        d = self.dim
+        if self.fv is not None:
+            n_qf = self.fv.JxW.shape[1]
+            if self.params.simulation_type == "FSI":
+                tq = jnp.repeat(self.fsi_traction, n_qf, axis=0)
+            else:
+                tq = self._standalone_traction_q()
+        else:
+            tq = None
+        self.time.increment()
+        self.x, self.v, self.sigma, a = self._rk4_step(
+            self.x, self.v, self.sigma, tq)
+        self._acc = a
+        self._sync()
+
+    def _standalone_traction_q(self):
+        params = self.params
+        fv = self.fv
+        d = self.dim
+        n_f, n_q = fv.JxW.shape
+        t = np.zeros((n_f * n_q, d))
+        for i in range(n_f):
+            bid = int(fv.boundary_id[i])
+            if bid in params.solid_neumann_bcs and \
+                    params.simulation_type != "FSI":
+                val = params.solid_neumann_bcs[bid]
+                if params.solid_neumann_bc_type == "Traction":
+                    t[i * n_q:(i + 1) * n_q] = np.asarray(val)[None, :]
+                else:
+                    t[i * n_q:(i + 1) * n_q] = \
+                        np.asarray(fv.normals[i]) * val[0]
+        return jnp.asarray(t, dtype=real_dtype())
+
+    def _sync(self):
+        """Copy particle state into the FE-facing vectors
+        (reference: source/hypo_elasticity.cpp:96-141)."""
+        d = self.dim
+        disp = self.x - jnp.asarray(self.mesh.vertices, dtype=self.x.dtype)
+        self.current_displacement = disp.reshape(-1)
+        self.current_velocity = self.v.reshape(-1)
+        acc = getattr(self, "_acc", jnp.zeros_like(self.v))
+        self.current_acceleration = acc.reshape(-1)
+        self.previous_displacement = self.current_displacement
+        self.previous_velocity = self.current_velocity
+        self.previous_acceleration = self.current_acceleration
+
+    def run(self):
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[1])
+            self.setup()
+        self.run_one_step(True)
+        while self.time.end() - self.time.current() > 1e-12:
+            self.run_one_step(False)
+
+    def get_current_solution(self):
+        return self.current_displacement

@@ -100,3 +100,38 @@ def test_solid_beam_bending_neohookean_3d():
     umin, umax = float(u.min()), float(u.max())
     assert abs((umin + 0.0617214) / 0.0617214) < 1e-3
     assert abs((umax - 0.00867507) / 0.00867507) < 1e-3
+
+
+def test_hypo_elasticity_free_fall():
+    """Meshfree hypo-elastic solver (RKPM stand-in for the reference's
+    optional rkpm-rk4 dependency): free fall reproduces u = -g t^2 / 2."""
+    from openifem_tpu.solvers.solid.hypo import HypoElasticity
+    p = AllParameters.from_file(
+        f"{REF}/solid_gravity_linearelastic/solid_gravity_linearelastic.prm")
+    p.time_step = 0.05
+    p.solid_type = "LinearElastic"
+    mesh = generators.subdivided_hyper_rectangle([4, 4], [0, 0], [1.0, 1.0])
+    p.global_refinements[1] = 0
+    s = HypoElasticity(mesh, p)
+    s.run()
+    u = np.asarray(s.get_current_solution()).reshape(-1, 2)
+    assert abs(u[:, 1].min() + 5.0) / 5.0 < 1e-6
+    assert np.allclose(u[:, 1], u[:, 1].mean(), atol=1e-8)
+
+
+def test_hypo_elasticity_bending_smoke():
+    """Clamped beam under downward traction bends down and stays stable
+    (reference rkpm-rk4-bending is a smoke test too)."""
+    from openifem_tpu.solvers.solid.hypo import HypoElasticity
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_linearelastic/"
+        "solid_beam_bending_linearelastic.prm")
+    p.global_refinements[1] = 0
+    p.end_time = 20.0
+    p.time_step = 0.05  # explicit stability
+    mesh = generators.subdivided_hyper_rectangle([32, 4], [0, 0], [8.0, 1.0])
+    s = HypoElasticity(mesh, p)
+    s.run()
+    u = np.asarray(s.get_current_solution()).reshape(-1, 2)
+    assert np.isfinite(u).all()
+    assert -0.5 < u[:, 1].min() < -0.005  # bends downward, bounded
