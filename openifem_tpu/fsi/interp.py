@@ -144,3 +144,25 @@ def interpolate_nodal(field, cell_dofs, cell_idx, unit, degree: int,
         shape = (len(cell_idx),) + (1,) * extra_dims
         out = out * found.reshape(shape)
     return out
+
+
+def sph_interpolate(targets, centers, diameters, values):
+    """SPH cubic-spline-kernel interpolation from cell centers
+    (Utils::SPHInterpolator, reference: source/utilities.cpp:83-190).
+
+    targets: (n_t, d); centers: (n_c, d); diameters: (n_c,) smoothing
+    lengths h (the reference uses the cell diameter); values: (n_c, ...)
+    cell-centered data.  Returns kernel-weighted averages at the targets."""
+    d = targets.shape[1]
+    rel = targets[:, None, :] - centers[None, :, :]
+    q = jnp.linalg.norm(rel, axis=-1) / diameters[None, :]
+    coef = jnp.where(
+        d == 2, 10.0 / (7.0 * jnp.pi * diameters ** 2),
+        1.0 / (jnp.pi * diameters ** 3))[None, :]
+    w = jnp.where(
+        q < 1.0, 1.0 - 1.5 * q ** 2 + 0.75 * q ** 3,
+        jnp.where(q < 2.0, 0.25 * (2.0 - q) ** 3, 0.0)) * coef
+    wsum = w.sum(axis=1)
+    wsum = jnp.where(wsum > 0, wsum, 1.0)
+    out = jnp.einsum("tc,c...->t...", w, values)
+    return out / wsum.reshape((-1,) + (1,) * (values.ndim - 1))

@@ -56,3 +56,14 @@ def test_locate_and_interpolate():
         0.3 * pts[:, 0] * pts[:, 1] + 1
     assert np.allclose(np.asarray(vals)[:30], exact, atol=1e-11)
     assert np.allclose(np.asarray(vals)[30:], 0.0)
+
+
+def test_sph_interpolate_constant_reproduction():
+    from openifem_tpu.fsi.interp import sph_interpolate
+    rng = np.random.RandomState(0)
+    centers = jnp.asarray(rng.rand(50, 2))
+    h = jnp.full(50, 0.3)
+    vals = jnp.full(50, 7.5)
+    targets = jnp.asarray(rng.rand(10, 2) * 0.6 + 0.2)
+    out = sph_interpolate(targets, centers, h, vals)
+    assert np.allclose(np.asarray(out), 7.5, atol=1e-12)
