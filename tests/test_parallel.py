@@ -1,0 +1,47 @@
+"""Multi-chip sharding tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_graft_entry_and_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft", "/root/repo/__graft_entry__.py")
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    fn, args = g.entry()
+    du, res = jax.jit(fn)(*args)
+    assert np.isfinite(float(res))
+    g.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_matvec_matches_single_device():
+    """Element-sharded assembly+solve gives the same answer as unsharded."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_fluid_solver
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.02
+    p.global_refinements[0] = 3
+    mesh = generators.hyper_cube(0.0, 1.0, dim=2)
+
+    f1 = InsIM(mesh, p)
+    f1.run(verbose=False)
+    ref = np.asarray(f1.present_solution)
+
+    f2 = InsIM(mesh, p)
+    f2.mesh = f2.mesh.refine_global(3)
+    f2.setup()
+    f2._setup_done = True
+    shard_fluid_solver(f2, make_cell_mesh(len(jax.devices())))
+    f2.run_one_step(True, verbose=False)
+    f2.run_one_step(False, verbose=False)
+    out = np.asarray(f2.present_solution)
+    assert np.allclose(out, ref, atol=1e-10)
