@@ -105,8 +105,10 @@ def test_fsi_leaflet_truncated():
 
 @pytest.mark.slow
 def test_fsi_leaflet_full():
-    """Full fsi_leaflet run (reference smoke test: must complete)."""
+    """Long fsi_leaflet run (reference smoke test: must complete; truncated
+    to 100 of 200 steps to bound suite runtime)."""
     p = AllParameters.from_file(f"{REF}/fsi_leaflet/fsi_leaflet.prm")
+    p.end_time = 0.5
     fluid, solid = _leaflet_setup(p)
     fsi = FSI(fluid, solid, p, use_dirichlet_bc=True)
     fsi.run(verbose=False)
