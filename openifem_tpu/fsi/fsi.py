@@ -147,6 +147,25 @@ class FSI:
         self.solid.fsi_traction = traction
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self):
+        """Coordinated solid+fluid checkpoint
+        (reference: source/mpi_fsi.cpp:1221-1225)."""
+        self.solid.save_checkpoint(self.time.get_timestep())
+        self.fluid.save_checkpoint(self.time.get_timestep())
+
+    def load_checkpoint(self) -> bool:
+        """reference: source/mpi_fsi.cpp:1127-1133 (asserts equal times)."""
+        ok = self.solid.load_checkpoint() and self.fluid.load_checkpoint()
+        if not ok:
+            return False
+        assert abs(self.solid.time.current() - self.fluid.time.current()) \
+            < 1e-12, ("Solid and fluid restart files have different time "
+                      "steps!")
+        while self.time.get_timestep() < self.solid.time.get_timestep():
+            self.time.increment()
+        return True
+
+    # ------------------------------------------------------------------
     def refine_mesh(self, min_level: int, max_level: int,
                     verbose: bool = False):
         """Refine fluid cells within one diameter of the moved solid
@@ -240,6 +259,8 @@ class FSI:
             if self.time.time_to_refine():
                 gr = params.global_refinements[0]
                 self.refine_mesh(gr, gr + 1, verbose=verbose)
+            if self.time.time_to_save():
+                self.save_checkpoint()
 
 
 class _FSIKernels:

@@ -134,3 +134,28 @@ def test_fsi_interface_refinement():
     assert fluid.mesh.level.max() == 4
     u = fluid.velocity_part()
     assert np.isfinite(u).all()
+
+
+def test_fsi_3d_smoke():
+    """3D immersed coupling smoke test: small sphere falling in a viscous
+    box (exercises 3D point location, face normals and coupling kernels)."""
+    p = AllParameters.from_file(f"{REF}/fsi_gravity/fsi_gravity.prm")
+    p.dimension = 3
+    p.gravity = [0.0, 0.0, -980.0]
+    p.initial_velocity = [0.0, 0.0, 0.0]
+    p.end_time = 2e-3
+    p.global_refinements = [0, 0]
+    p.fluid_dirichlet_bcs = {i: (7, [0.0, 0.0, 0.0]) for i in range(5)}
+    p.solid_dirichlet_bcs = {}
+
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [6, 6, 10], [0, 0, 0], [1.5, 1.5, -2.5])
+    fluid = InsIM(fluid_mesh, p)
+    solid_mesh = generators.sphere([0.75, 0.75, -0.75], 0.2, dim=3)
+    solid = HyperElasticity(solid_mesh, p)
+    fsi = FSI(fluid, solid, p, use_dirichlet_bc=True)
+    fsi.run(verbose=False)
+    d = np.asarray(solid.current_displacement).reshape(-1, 3)
+    assert np.isfinite(d).all()
+    assert d[:, 2].mean() < -1e-5  # fell in -z
+    assert np.isfinite(fluid.velocity_part()).all()
