@@ -135,3 +135,48 @@ def test_hypo_elasticity_bending_smoke():
     u = np.asarray(s.get_current_solution()).reshape(-1, 2)
     assert np.isfinite(u).all()
     assert -0.5 < u[:, 1].min() < -0.005  # bends downward, bounded
+
+
+def test_solid_rotation_kirchhoff_smoke():
+    """Kirchhoff material smoke test (reference: tests/
+    solid_rotation_Kirchhoff — traction on one face spins the free block;
+    must run stably), truncated."""
+    p = AllParameters.from_file(
+        f"{REF}/solid_rotation_Kirchhoff/solid_rotation_Kirchhoff.prm")
+    p.end_time = 50 * p.time_step
+    mesh = generators.subdivided_hyper_rectangle([2, 2], [0, 0], [1.0, 1.0])
+    solid = HyperElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    assert np.isfinite(u).all()
+    assert 1e-4 < np.abs(u).max() < 1.0  # moves, stays bounded
+
+
+def test_shared_linear_beam_golden():
+    """SharedLinearElasticity (HHT-alpha) in standalone mode reproduces the
+    beam golden (reference: tests/solid_beam_bending_mpi_shared_linearelastic
+    umin = -0.1337, rtol 1e-3; damping = 0 makes HHT = Newmark)."""
+    from openifem_tpu.solvers.solid.shared import SharedLinearElasticity
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_mpi_shared_linearelastic/"
+        "solid_beam_bending_mpi_shared_linearelastic.prm")
+    mesh = generators.subdivided_hyper_rectangle([32, 4], [0, 0], [8.0, 1.0])
+    solid = SharedLinearElasticity(mesh, p)
+    solid.run()
+    umin = float(np.asarray(solid.get_current_solution()).min())
+    assert abs((umin + 0.1337) / 0.1337) < 1e-3
+
+
+def test_shared_neohookean_beam_golden():
+    """SharedHyperElasticity standalone (reference:
+    tests/solid_beam_bending_mpi_shared_NeoHookean)."""
+    from openifem_tpu.solvers.solid.shared import SharedHyperElasticity
+    p = AllParameters.from_file(
+        f"{REF}/solid_beam_bending_mpi_shared_NeoHookean/"
+        "solid_beam_bending_mpi_shared_NeoHookean.prm")
+    mesh = generators.subdivided_hyper_rectangle([40, 4], [0, 0],
+                                                 [10.0, 1.0])
+    solid = SharedHyperElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    assert abs((float(u.min()) + 0.0616287) / 0.0616287) < 1e-3
