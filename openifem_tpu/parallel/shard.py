@@ -54,6 +54,10 @@ def shard_fluid_solver(solver, mesh: Mesh, axis: str = "cells"):
             if arr is not None and getattr(arr, "ndim", 0) >= 1:
                 setattr(solver, name, put_cells(arr))
 
+    # dof vectors stay replicated: the element scatter-add then reduces to
+    # one psum per matvec (halo-free domain decomposition).  Range-
+    # partitioned dof vectors (memory scaling + reduce-scatter pattern)
+    # require padded vector layouts and are the next scaling step.
     for name in ("present_solution", "solution_increment", "Mu_diag",
                  "Mp_diag"):
         if hasattr(solver, name):
