@@ -110,3 +110,23 @@ def test_fsi_leaflet_mpi_truncated():
     # the leaflet bends downstream
     assert 1e-5 < d[:, 0].max() < 0.5
     assert np.isfinite(fluid.velocity_part()).all()
+
+
+def test_fsi_gravity_mpi_truncated():
+    """MPI-semantics falling sphere with the InsIM + SharedHyperElasticity
+    combination of tests/fsi_gravity_mpi (that test is 3D/500 steps; we run
+    its 2D analog configuration for CI)."""
+    from openifem_tpu.solvers.fluid import InsIM
+    p = AllParameters.from_file(f"{REF}/fsi_gravity/fsi_gravity.prm")
+    p.global_refinements = [1, 2]
+    W, H, R, L = 2.0, 5.0, 0.125, 1.0
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [8, 20], [0.0, 0.0], [W, -H])
+    fluid = InsIM(fluid_mesh, p)
+    solid = SharedHyperElasticity(generators.sphere([L, -L], R, dim=2), p)
+    fsi = MPIFSI(fluid, solid, p, use_dirichlet_bc=True)
+    fsi.run(verbose=False)
+    d = np.asarray(solid.current_displacement).reshape(-1, 2)
+    free_fall = 0.5 * 980.0 * p.end_time ** 2
+    assert -1.5 * free_fall < d[:, 1].mean() < -0.05 * free_fall
+    assert np.isfinite(fluid.velocity_part()).all()
