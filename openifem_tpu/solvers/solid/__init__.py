@@ -1,4 +1,5 @@
 from .linear import LinearElasticity
 from .hyper import HyperElasticity
+from .shell import ShellSolidSolver
 
-__all__ = ["LinearElasticity", "HyperElasticity"]
+__all__ = ["LinearElasticity", "HyperElasticity", "ShellSolidSolver"]
