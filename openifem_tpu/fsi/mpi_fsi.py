@@ -90,6 +90,23 @@ class MPIFSI(FSI):
                     bnodes.add(int(solid.space.cell_dofs[c, l]))
         self._solid_bnodes = jnp.asarray(sorted(bnodes), dtype=jnp.int32)
 
+        # turbulence-model wall functions: solid boundary vertex/face tables
+        # (reference: collect_solid_boundaries/_boundary_vertices,
+        # source/mpi_fsi.cpp:78-120)
+        self._tm = getattr(fluid, "turbulence_model", None)
+        if self._tm is not None:
+            bfv = np.asarray(solid._bface_verts)        # (n_f, nfv) vert ids
+            vids = np.unique(bfv)
+            vindex = {int(v): i for i, v in enumerate(vids)}
+            self._sb_vids = vids
+            self._sb_face_vidx = np.vectorize(vindex.get)(bfv)
+            adj = [[] for _ in vids]
+            for fi, row in enumerate(self._sb_face_vidx):
+                for vi in sorted(set(int(x) for x in row)):
+                    adj[vi].append(fi)
+            self._sb_vertex_faces = adj
+            self.shear_velocities = np.zeros(len(vids))
+
         self._mpi_kernels = _MPIKernels(self)
 
     # ------------------------------------------------------------------
@@ -111,6 +128,14 @@ class MPIFSI(FSI):
         # it before the acceleration loop)
         fluid.fsi_stress_nodal = k.fsi_stress_nodal(
             moved, fluid.stress_device, solid_stress_nodal, fluid.indicator)
+
+        if self._tm is not None:
+            # update the SA moving-wall distance from the deformed solid
+            # boundary (reference: source/mpi_fsi.cpp:655-660)
+            mv = np.asarray(solid.moved_vertex_coords())
+            self._tm.update_moving_wall_distance(
+                mv[self._sb_vids], self._sb_face_vidx,
+                self.shear_velocities)
 
         if not self.use_dirichlet_bc:
             fluid.fsi_acc_nodal = k.fsi_acc_nodal(
@@ -139,6 +164,37 @@ class MPIFSI(FSI):
         self.solid.fsi_stress_rows = k.solid_bc_rows(
             self.solid.current_displacement, self.fluid.present_solution,
             self.fluid.stress_device)
+        if self._tm is not None:
+            self._update_shear_velocities()
+
+    def _update_shear_velocities(self):
+        """Shear velocity u_tau at each solid boundary vertex for the
+        turbulence wall function (reference: source/mpi_fsi.cpp:784-844).
+        The vertex normal is the UN-normalized mean of the adjacent deformed
+        face unit normals (:795-800); the reference computes an image point
+        but samples the fluid velocity AT the wall vertex itself (:805-814)
+        — replicated literally."""
+        fluid, solid = self.fluid, self.solid
+        d = fluid.dim
+        moved = solid.moved_vertex_coords()
+        _, fn = solid._face_geometry(moved)
+        fn = np.asarray(fn * solid._face_orient[:, None, None])[:, 0, :]
+        vn = np.zeros((len(self._sb_vids), d))
+        for vi, fl in enumerate(self._sb_vertex_faces):
+            vn[vi] = fn[fl].mean(axis=0)
+        pts = np.asarray(moved)[self._sb_vids]
+        idx, unit, found = locate_points(
+            jnp.asarray(pts, dtype=real_dtype()), self._fluid_cell_verts,
+            self._fluid_bbox_lo, self._fluid_bbox_hi)
+        u = fluid.present_solution[:fluid.n_u].reshape(-1, d)
+        u_cell_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
+        uv = np.asarray(interpolate_nodal(
+            u, u_cell_dofs, idx, unit,
+            fluid.params.fluid_velocity_degree, found))
+        normal_part = (uv * vn).sum(axis=-1)[:, None] * vn
+        tangential = np.linalg.norm(uv - normal_part, axis=-1)
+        ut = self._tm.get_shear_velocity(tangential, self.shear_velocities)
+        self.shear_velocities = np.where(np.asarray(found), ut, 0.0)
 
     # ------------------------------------------------------------------
     def apply_contact_model(self, first_step: bool):
@@ -199,6 +255,9 @@ class MPIFSI(FSI):
         self.fluid.mesh = self.fluid.mesh.refine_global(
             params.global_refinements[0])
         self.fluid.setup()
+        tm = getattr(self.fluid, "turbulence_model", None)
+        if tm is not None and not hasattr(tm, "space"):
+            tm.setup()
         self._setup_coupling()
 
         if verbose:
@@ -214,7 +273,13 @@ class MPIFSI(FSI):
             else:
                 self.solid.run_one_step(first_step)
             self.update_solid_box_and_indicator()
+            if self._tm is not None:
+                # per-step SA Dirichlet rows from last step's wall distances
+                # (reference: source/mpi_fsi.cpp:1199-1203)
+                self._tm.update_boundary_condition(first_step)
             zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
+            if self._tm is not None:
+                self._tm.run_one_step(True)
             self.fluid.run_one_step(True, verbose=verbose,
                                     zero_cons=zero_ext,
                                     nonzero_cons=nonzero_ext)

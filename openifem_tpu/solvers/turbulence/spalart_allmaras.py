@@ -16,7 +16,14 @@ Notes on parity:
  - fixed-wall distance replicates the reference's brute-force minimum over
    the wall boundary VERTEX cloud (source/mpi_spalart_allmaras.cpp:408-539)
    as one batched distance matrix.
- - the FSI moving-wall distance + wall-function path is not yet ported.
+ - FSI wall functions: moving-wall distance is point-to-segment against the
+   deformed solid boundary (2D; vertex cloud in 3D) with y+ from linearly
+   interpolated shear velocities (source/mpi_spalart_allmaras.cpp:16-127);
+   shear velocity solves the analytic u+(y+) profile by Newton (:217-280);
+   `update_boundary_condition` adds per-step Dirichlet rows nu~ = kappa y+ nu
+   near the moving wall and nu~ = 0 inside the solid (:129-215).  The
+   reference merges these rows into its PERSISTENT zero constraints, so once
+   constrained a dof stays frozen in later steps — replicated deliberately.
 """
 
 from __future__ import annotations
@@ -37,12 +44,34 @@ CW2, CW3, CN1 = 0.3, 2.0, 16.0
 SIGMA = 2.0 / 3.0
 CW1 = CB1 / (KAPPA * KAPPA) + (1.0 + CB2) / SIGMA
 
+# analytic wall-velocity-profile constants
+# (reference: source/mpi_spalart_allmaras.cpp:237-246)
+WF_B, WF_A1, WF_A2 = 5.03339088, 8.14822158, -6.92870938
+WF_B1, WF_B2 = 7.46008761, 7.46814579
+WF_C1, WF_C2, WF_C3, WF_C4 = 2.54967735, 1.33016516, 3.59945911, 3.63975319
+
+
+def _u_plus(yp):
+    return (WF_B + WF_C1 * np.log((yp + WF_A1) ** 2 + WF_B1 ** 2)
+            - WF_C2 * np.log((yp + WF_A2) ** 2 + WF_B2 ** 2)
+            - WF_C3 * np.arctan2(WF_B1, yp + WF_A1)
+            - WF_C4 * np.arctan2(WF_B2, yp + WF_A2))
+
+
+def _dup_dyp(yp):
+    k3 = KAPPA ** 3
+    return k3 * yp ** 3 / (CV1 ** 3 + k3 * yp ** 3)
+
 
 def make_turbulence_model(name: str, fluid):
     """TurbulenceModelFactory analog
     (reference: source/mpi_turbulence_model.cpp:12-26)."""
     if name == "Spalart-Allmaras":
-        return SpalartAllmaras(fluid)
+        model = SpalartAllmaras(fluid)
+        # attach to the fluid solver (reference: attach_turbulence_model,
+        # source/mpi_fluid_solver.cpp:53-63)
+        fluid.turbulence_model = model
+        return model
     raise ValueError(f"Unknown turbulence model: {name}")
 
 
@@ -83,6 +112,12 @@ class SpalartAllmaras:
         from ...fe.space import SystemSpace
         ssys = SystemSpace([(space, 1)])
         hidx, hw, hmask = ssys.hanging_tables()
+        self._hang = (hidx, hw, hmask)
+        self._base_dirichlet = dmask
+        self._base_values = dvals
+        self._accum_mask = np.zeros(self.n, dtype=bool)
+        self._step_zero = None
+        self._step_nonzero = None
         self.zero_constraints = Constraints(self.n, hidx, hw, hmask,
                                             dirichlet_mask=dmask)
         self.nonzero_constraints = Constraints(self.n, hidx, hw, hmask,
@@ -103,6 +138,7 @@ class SpalartAllmaras:
             fixed_d = np.full(self.n, 1e10)
         self.fixed_wall_distance = jnp.asarray(fixed_d, dtype=rdt)
         self.moving_wall_distance = jnp.full(self.n, np.inf, dtype=rdt)
+        self.y_plus = np.zeros(self.n)
 
         # initial condition: coeff * laminar nu with zero-constraint rows
         # zeroed; the inflow value enters as the first step's constraint
@@ -228,9 +264,13 @@ class SpalartAllmaras:
         fluid = self.fluid
         wall_d = jnp.minimum(self.fixed_wall_distance,
                              self.moving_wall_distance)
+        zero_cons = self._step_zero if self._step_zero is not None \
+            else self.zero_constraints
+        nonzero_cons = self._step_nonzero if self._step_nonzero is not None \
+            else self.nonzero_constraints
         eval_pt = self.present_solution
         if apply_nonzero_constraints:
-            eval_pt = self.nonzero_constraints.apply_increment(eval_pt)
+            eval_pt = nonzero_cons.apply_increment(eval_pt)
 
         current_res = 1.0
         initial_res = 1.0
@@ -241,7 +281,7 @@ class SpalartAllmaras:
                 raise RuntimeError("Too many Newton iterations!")
             du, rn, iters = self._newton_iter(
                 eval_pt, self.present_solution, fluid.present_solution,
-                wall_d, fluid.indicator, self.zero_constraints)
+                wall_d, fluid.indicator, zero_cons)
             current_res = float(rn)
             eval_pt = eval_pt + du
             if it == 0:
@@ -266,7 +306,128 @@ class SpalartAllmaras:
         # feed back into the fluid solver (SCnsIM consumes this)
         self.fluid.eddy_viscosity_nodal = self.eddy_viscosity_nodal
 
-    def update_moving_wall_distance(self, distances):
-        """FSI hook: per-node distance to the moving solid boundary."""
-        self.moving_wall_distance = jnp.asarray(distances,
-                                                dtype=real_dtype())
+    # ------------------------------------------------------------------
+    # FSI wall-function machinery
+    # ------------------------------------------------------------------
+    def get_shear_velocity(self, vel, init_guess):
+        """Shear velocity u_tau from the analytic wall-velocity profile by
+        Newton iteration, vectorized over points
+        (reference: source/mpi_spalart_allmaras.cpp:217-280)."""
+        params = self.params
+        vel = np.atleast_1d(np.asarray(vel, dtype=np.float64))
+        init = np.broadcast_to(
+            np.asarray(init_guess, dtype=np.float64), vel.shape).copy()
+        nu = params.viscosity / params.fluid_rho
+        dist = params.wall_function_image_distance
+        out = np.zeros_like(vel)
+        small = np.abs(vel) < 1e-10
+        # viscous sublayer shortcut (y+ < 5: u+ = y+)
+        visc = (~small) & (vel * dist / nu < np.sqrt(5.0))
+        out[visc] = vel[visc] / np.sqrt(vel[visc] * dist / nu)
+        newton = ~(small | visc)
+        if np.any(newton):
+            v = vel[newton]
+            ut = np.maximum(init[newton], 5.0 * nu / dist)
+            active = np.ones(ut.shape, dtype=bool)
+            for _ in range(30):
+                yp = ut * dist / nu
+                up = _u_plus(yp)
+                ut_next = ut - (ut * up - v) / (up + yp * _dup_dyp(yp))
+                conv = np.abs(ut_next - ut) < 1e-2 * np.abs(ut)
+                ut = np.where(active, ut_next, ut)
+                active &= ~conv
+                if not active.any():
+                    break
+            out[newton] = ut
+        return out
+
+    def update_moving_wall_distance(self, vertex_pts, faces,
+                                    shear_velocities):
+        """FSI hook: per-support-point distance to the DEFORMED solid
+        boundary, plus y+ from the nearest point's shear velocity
+        (reference: source/mpi_spalart_allmaras.cpp:16-127).
+
+        vertex_pts: (m, d) deformed solid boundary vertex positions;
+        faces: (k, nfv) indices into vertex_pts (2D: segment endpoints);
+        shear_velocities: (m,) u_tau per boundary vertex."""
+        params = self.params
+        P = np.asarray(self.space.node_points, dtype=np.float64)
+        V = np.asarray(vertex_pts, dtype=np.float64)
+        ut = np.asarray(shear_velocities, dtype=np.float64)
+        nu = params.viscosity / params.fluid_rho
+        n = len(P)
+
+        # vertex-cloud distances (checked AFTER edges in the reference, with
+        # strict <, so edges win exact ties: concatenate edges first)
+        dv = np.linalg.norm(P[:, None, :] - V[None, :, :], axis=-1)  # (n, m)
+        uv = np.broadcast_to(ut[None, :], dv.shape)
+        cand_d, cand_u = [dv], [uv]
+        faces = np.asarray(faces)
+        if self.fluid.dim == 2 and len(faces):
+            A, B = V[faces[:, 0]], V[faces[:, 1]]
+            e = B - A                                    # (k, d)
+            L2 = np.maximum((e * e).sum(-1), 1e-30)
+            w = P[:, None, :] - A[None, :, :]            # (n, k, d)
+            t = np.einsum("nkd,kd->nk", w, e) / L2
+            foot = A[None] + t[..., None] * e[None]
+            de = np.linalg.norm(P[:, None, :] - foot, axis=-1)
+            inside = (t > 0) & (t < 1)
+            de = np.where(inside, de, np.inf)
+            ue = ut[faces[:, 0]][None] + t * (ut[faces[:, 1]] -
+                                              ut[faces[:, 0]])[None]
+            cand_d, cand_u = [de, dv], [ue, uv]
+        D = np.concatenate(cand_d, axis=1)
+        U = np.concatenate(cand_u, axis=1)
+        best = np.argmin(D, axis=1)
+        min_d = D[np.arange(n), best]
+        best_u = U[np.arange(n), best]
+        self.moving_wall_distance = jnp.asarray(min_d, dtype=real_dtype())
+        self.y_plus = min_d * best_u / nu
+
+    def update_boundary_condition(self, first_step: bool):
+        """Per-step extra Dirichlet rows (reference:
+        source/mpi_spalart_allmaras.cpp:129-215): nu~ set to 0 on dofs of
+        fully-covered (indicator==1) cells and to kappa*y+*nu on support
+        points within the wall-function distance of the moving wall with
+        y+ < 200.  First-touch-wins over the cell loop; the inner zero rows
+        are merged into the persistent zero constraints (the reference never
+        rebuilds them, so rows accumulate across steps — replicated)."""
+        params = self.params
+        n = self.n
+        cd = np.asarray(self.space.cell_dofs)
+        n_c, nl = cd.shape
+        ind = np.asarray(self.fluid.indicator) == 1
+        INF = n_c + 1
+
+        first_ind = np.full(n, INF, dtype=np.int64)
+        first_wall = np.full(n, INF, dtype=np.int64)
+        cell_ids = np.arange(n_c, dtype=np.int64)
+        if ind.any():
+            np.minimum.at(first_ind, cd[ind].ravel(),
+                          np.repeat(cell_ids[ind], nl))
+        mwd = np.asarray(self.moving_wall_distance)
+        yp = np.asarray(self.y_plus)
+        wall_ok = (mwd < params.wall_function_effective_distance) & \
+            (yp < 200.0)
+        if (~ind).any():
+            np.minimum.at(first_wall, cd[~ind].ravel(),
+                          np.repeat(cell_ids[~ind], nl))
+        first_wall = np.where(wall_ok, first_wall, INF)
+        is_ind = (first_ind < INF) & (first_ind < first_wall)
+        is_wall = (first_wall < INF) & (first_wall < first_ind)
+        new_mask = is_ind | is_wall
+        self._accum_mask |= new_mask
+
+        nu_lam = params.viscosity / params.fluid_rho
+        present = np.asarray(self.present_solution)
+        target = np.where(is_ind, 0.0, KAPPA * yp * nu_lam)
+        zero_mask = self._base_dirichlet | self._accum_mask
+        base_vals = self._base_values if first_step else np.zeros(n)
+        vals = np.where(new_mask, target - present,
+                        np.where(self._accum_mask, 0.0, base_vals))
+        hidx, hw, hmask = self._hang
+        self._step_zero = Constraints(n, hidx, hw, hmask,
+                                      dirichlet_mask=zero_mask)
+        self._step_nonzero = Constraints(n, hidx, hw, hmask,
+                                         dirichlet_mask=zero_mask,
+                                         dirichlet_values=vals)

@@ -86,3 +86,115 @@ def test_sa_coupled_scnsim_runs():
     u = fluid.velocity_part()
     assert np.isfinite(u).all()
     assert 0 < np.abs(u).max() < 10
+
+
+def test_sa_shear_velocity_profile():
+    """get_shear_velocity solves u_tau * u+(u_tau d / nu) = vel
+    (reference: source/mpi_spalart_allmaras.cpp:217-280)."""
+    from types import SimpleNamespace
+    from openifem_tpu.solvers.turbulence.spalart_allmaras import (
+        SpalartAllmaras, _u_plus)
+
+    p, _ = _channel_setup()
+    p.wall_function_image_distance = 0.01
+    sa = SpalartAllmaras(SimpleNamespace(params=p))
+    nu = p.viscosity / p.fluid_rho
+    dist = p.wall_function_image_distance
+
+    # viscous sublayer branch: vel*dist/nu < sqrt(5) -> u_tau^2 = vel*nu/d
+    vel_v = 0.5 * np.sqrt(5.0) * nu / dist
+    ut_v = sa.get_shear_velocity(vel_v, 0.0)[0]
+    assert abs(ut_v ** 2 - vel_v * nu / dist) < 1e-12
+
+    # turbulent branch: residual of the analytic profile equation
+    vels = np.array([5.0, 20.0, 80.0])
+    uts = sa.get_shear_velocity(vels, np.zeros(3))
+    res = uts * _u_plus(uts * dist / nu) - vels
+    assert np.all(np.abs(res) < 0.05 * vels), (uts, res)
+
+    # zero velocity -> zero shear velocity
+    assert sa.get_shear_velocity(0.0, 1.0)[0] == 0.0
+
+
+def test_sa_moving_wall_distance_and_bc():
+    """Point-to-segment moving-wall distance with interpolated y+ and the
+    per-step wall-function Dirichlet rows
+    (reference: source/mpi_spalart_allmaras.cpp:16-215)."""
+    p, mesh = _channel_setup()
+    fluid = SUPGInsIM(mesh, p)
+    fluid.mesh = mesh
+    fluid.setup()
+    fluid._setup_done = True
+    sa = make_turbulence_model("Spalart-Allmaras", fluid)
+    sa.setup()
+    nu = p.viscosity / p.fluid_rho
+
+    # one segment hovering above the bottom wall, u_tau 2 -> 4 along it
+    verts = np.array([[0.5, 0.1], [1.5, 0.1]])
+    faces = np.array([[0, 1]])
+    ut = np.array([2e-3, 4e-3])
+    sa.update_moving_wall_distance(verts, faces, ut)
+    pts = np.asarray(fluid.u_space.node_points)
+    mwd = np.asarray(sa.moving_wall_distance)
+
+    # node (1.0, 0.2): foot of perpendicular at (1.0, 0.1), t = 0.5
+    i = np.where(np.linalg.norm(pts - [1.0, 0.2], axis=1) < 1e-9)[0][0]
+    assert abs(mwd[i] - 0.1) < 1e-12
+    assert abs(sa.y_plus[i] - 0.1 * 3e-3 / nu) < 1e-12
+
+    # interior node (0.3, 0.3): beyond the segment -> vertex region of
+    # (0.5, 0.1), distance sqrt(0.08)
+    j = np.where(np.linalg.norm(pts - [0.3, 0.3], axis=1) < 1e-9)[0][0]
+    dj = np.sqrt(0.08)
+    assert abs(mwd[j] - dj) < 1e-12
+    assert abs(sa.y_plus[j] - dj * 2e-3 / nu) < 1e-12
+
+    # wall-function Dirichlet rows: nu~ = kappa y+ nu within the effective
+    # distance, frozen rows accumulate across steps
+    p.wall_function_effective_distance = 0.15
+    fluid.indicator = np.zeros(fluid.mesh.n_cells)
+    sa.update_boundary_condition(first_step=False)
+    dmask = np.asarray(sa._step_nonzero.dirichlet)
+    vals = np.asarray(sa._step_nonzero.dirichlet_values)
+    assert dmask[i] and not dmask[j]
+    present = np.asarray(sa.present_solution)
+    assert abs(vals[i] - (0.41 * sa.y_plus[i] * nu - present[i])) < 1e-14
+    # accumulation quirk: the row stays constrained next step even if far
+    sa.update_moving_wall_distance(verts + 100.0, faces, ut)
+    sa.update_boundary_condition(first_step=False)
+    assert np.asarray(sa._step_zero.dirichlet)[i]
+    assert np.asarray(sa._step_nonzero.dirichlet_values)[i] == 0.0
+
+
+def test_sa_fsi_wall_function_smoke():
+    """MPIFSI drives the full wall-function loop: shear velocities at solid
+    boundary vertices, moving-wall distance, per-step SA constraints
+    (reference: source/mpi_fsi.cpp:655-660, 784-844, 1199-1203)."""
+    from openifem_tpu.fsi.mpi_fsi import MPIFSI
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.solvers.solid.shared import SharedLinearElasticity
+
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    p.end_time = 3 * p.time_step
+    p.n_spalart_allmaras_model_bcs = 3
+    p.spalart_allmaras_model_bcs = {0: 1, 2: 0, 3: 0}
+    p.spalart_allmaras_initial_condition_coefficient = 3.0
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [20, 10], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [4, 4], [0.0, 0.0], [0.5, 0.5])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.75, 0.25])
+
+    fluid = SCnsIM(fluid_mesh, p)
+    sa = make_turbulence_model("Spalart-Allmaras", fluid)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = MPIFSI(fluid, solid, p)
+    fsi.run(verbose=False)
+
+    assert np.isfinite(fsi.shear_velocities).all()
+    mwd = np.asarray(sa.moving_wall_distance)
+    assert np.isfinite(mwd).all() and mwd.min() < 0.3
+    assert np.isfinite(np.asarray(sa.eddy_viscosity_nodal)).all()
+    # the immersed solid produced indicator rows in the SA constraints
+    assert sa._accum_mask.any()
