@@ -130,3 +130,59 @@ def test_fsi_gravity_mpi_truncated():
     free_fall = 0.5 * 980.0 * p.end_time ** 2
     assert -1.5 * free_fall < d[:, 1].mean() < -0.05 * free_fall
     assert np.isfinite(fluid.velocity_part()).all()
+
+
+def test_cv_surface_cutting_exact(tmp_path, monkeypatch):
+    """The SurfaceCutter analog is exact for linear fields: cut planes that
+    fall strictly inside cells, trapezoid flux quadrature and polygon
+    volume fractions (reference: source/cv_fsi.cpp:6-160, 612-757)."""
+    monkeypatch.chdir(tmp_path)
+    from openifem_tpu.fsi.cv_fsi import ControlVolumeFSI
+    import jax.numpy as jnp
+    from openifem_tpu.config import real_dtype
+
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [20, 10], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [2, 2], [0.0, 0.0], [0.2, 0.2])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.9, 0.0])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = ControlVolumeFSI(fluid, solid, p)
+    x_in, x_out = 0.37, 1.62   # strictly inside cells of width 0.1
+    fsi.set_control_volume_boundary(x_in, x_out)
+    solid.mesh = solid.mesh.refine_global(p.global_refinements[1])
+    solid.setup()
+    fluid.mesh = fluid.mesh.refine_global(p.global_refinements[0])
+    fluid.setup()
+    fsi._setup_coupling()
+
+    # volume fractions: inlet cell keeps (0.4-0.37)/0.1 of its area
+    assert fsi._cut_in is not None and len(fsi._cut_in["cells"]) == 10
+    assert np.allclose(fsi._cut_in["frac"], 0.3, atol=1e-12)
+    assert np.allclose(fsi._cut_out["frac"], 0.2, atol=1e-12)
+
+    # synthetic linear solution u = (x + 2y, 0), p = 3x
+    pts = np.asarray(fluid.u_space.node_points)
+    u = np.zeros((len(pts), 2))
+    u[:, 0] = pts[:, 0] + 2 * pts[:, 1]
+    ppts = np.asarray(fluid.p_space.node_points)
+    sol = np.concatenate([u.reshape(-1), 3 * ppts[:, 0]])
+    sol = jnp.asarray(sol, dtype=real_dtype())
+
+    ins = fsi._surface_integrals(fsi._cut_in, sol)
+    # int_0^1 (x_in + 2y) dy = x_in + 1; int 3 x_in dy = 3 x_in
+    assert abs(ins["volume_flow"] - (x_in + 1)) < 1e-12
+    assert abs(ins["pressure_force"] - 3 * x_in) < 1e-12
+    rho = p.fluid_rho
+    # int rho (x+2y)^2 dy at x = x_in; the 2-point trapezoid rule (the
+    # reference's cutter support-point quadrature) overestimates the convex
+    # quadratic by rho * f'' * h^2 * H / 12 with f'' = 8
+    mom = rho * (x_in ** 2 + 2 * x_in + 4.0 / 3.0)
+    trap_err = rho * 8 * 0.1 ** 2 / 12
+    assert abs(ins["momentum_flux"] - (mom + trap_err)) < 1e-12
+    # friction work: mu * du_x/dx * u_x integrated (du_x/dx = 1)
+    mu = p.viscosity
+    assert abs(ins["rate_friction_work"] - mu * (x_in + 1)) < 1e-12
