@@ -1,3 +1,5 @@
-from .shard import shard_fluid_solver, make_cell_mesh
+from .shard import (make_cell_mesh, shard_fluid_solver, shard_solid_solver,
+                    sharded_element_cg)
 
-__all__ = ["shard_fluid_solver", "make_cell_mesh"]
+__all__ = ["shard_fluid_solver", "shard_solid_solver",
+           "sharded_element_cg", "make_cell_mesh"]

@@ -65,3 +65,114 @@ def shard_fluid_solver(solver, mesh: Mesh, axis: str = "cells"):
             if arr is not None:
                 setattr(solver, name, jax.device_put(arr, replicated))
     return solver
+
+
+# ----------------------------------------------------------------------
+# Dof-range sharding (padded layouts)
+# ----------------------------------------------------------------------
+
+def _pad_constraints(cons, n_pad: int):
+    """Extend a Constraints object to n_pad dofs; the tail rows are
+    Dirichlet-fixed at zero so they stay exact identity rows in the
+    condensed Krylov system."""
+    import jax.numpy as jnp
+    from ..la.constraints import Constraints
+
+    n = cons.n_dofs
+    k = cons.hang_idx.shape[1]
+    hang_idx = np.concatenate([
+        np.asarray(cons.hang_idx),
+        np.tile(np.arange(n, n_pad, dtype=np.int32)[:, None], (1, k))])
+    hw_pad = np.zeros((n_pad - n, k))
+    hw_pad[:, 0] = 1.0
+    hang_w = np.concatenate([np.asarray(cons.hang_w), hw_pad])
+    hanging = np.concatenate([np.asarray(cons.hanging),
+                              np.zeros(n_pad - n, dtype=bool)])
+    dmask = np.concatenate([np.asarray(cons.dirichlet),
+                            np.ones(n_pad - n, dtype=bool)])
+    dvals = np.concatenate([np.asarray(cons.dirichlet_values),
+                            np.zeros(n_pad - n)])
+    return Constraints(n_pad, hang_idx, hang_w, hanging, dmask, dvals)
+
+
+def sharded_element_cg(A_loc, cell_dofs, cons, mesh: Mesh, axis="cells",
+                       maxiter: int = None):
+    """Fully sharded CG solve for an element-block operator.
+
+    TPU-native equivalent of the reference's distributed PETSc CG
+    (source/mpi_solid_solver.cpp:145-160): element blocks are sharded along
+    the cell axis and the dof vectors are RANGE-sharded over the same device
+    mesh using a padded layout (GSPMD requires the leading dimension to
+    divide evenly).  XLA inserts the halo exchange (all-gather on the
+    gathered dof vector), the reduce-scatter behind the scatter-add, and
+    psum for the CG dot products — the assemble/compress(add) + VecDot
+    pattern of the reference, riding ICI.
+
+    Returns a jitted solve(b, atol) -> SolveResult on the ORIGINAL
+    (unpadded) dof layout."""
+    import jax.numpy as jnp
+    from ..la.krylov import SolveResult, cg
+    from ..la.operators import element_diag, element_matvec
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    n = cons.n_dofs
+    n_pad = -(-n // n_dev) * n_dev
+    pcons = _pad_constraints(cons, n_pad)
+
+    # pad the cell axis too: zero blocks whose dofs point at a fixed tail row
+    n_c, nl, _ = A_loc.shape
+    n_c_pad = -(-n_c // n_dev) * n_dev
+    if n_c_pad != n_c:
+        import jax.numpy as jnp
+        A_loc = jnp.concatenate([
+            A_loc, jnp.zeros((n_c_pad - n_c, nl, nl), dtype=A_loc.dtype)])
+        pad_dof = n_pad - 1 if n_pad > n else 0
+        cell_dofs = jnp.concatenate([
+            cell_dofs, jnp.full((n_c_pad - n_c, nl), pad_dof,
+                                dtype=cell_dofs.dtype)])
+
+    cell_sh = NamedSharding(mesh, P(axis))
+    dof_sh = NamedSharding(mesh, P(axis))
+    A_loc = jax.device_put(A_loc, cell_sh)
+    cell_dofs = jax.device_put(cell_dofs, cell_sh)
+
+    def apply_A(x):
+        y = element_matvec(A_loc, cell_dofs, n_pad, x)
+        return jax.lax.with_sharding_constraint(y, dof_sh)
+
+    op = pcons.wrap_operator(apply_A)
+    diag = jnp.where(pcons.fixed, 1.0,
+                     element_diag(A_loc, cell_dofs, n_pad))
+    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    dinv = jax.device_put(dinv, dof_sh)
+    if maxiter is None:
+        maxiter = n
+
+    def solve(b, atol):
+        b_pad = jnp.zeros(n_pad, dtype=b.dtype).at[:n].set(b)
+        b_pad = jax.lax.with_sharding_constraint(b_pad, dof_sh)
+        res = cg(op, b_pad, M=lambda r: r * dinv, atol=atol,
+                 maxiter=maxiter)
+        return SolveResult(res.x[:n], res.iters, res.residual)
+
+    return jax.jit(solve)
+
+
+def shard_solid_solver(solver, mesh: Mesh, axis: str = "cells"):
+    """Shard a solid solver: element blocks by cells, Krylov dof vectors by
+    padded ranges (see sharded_element_cg).  Swaps the solver's jitted CG
+    closures for fully sharded ones; subsequent run_one_step calls execute
+    SPMD over the device mesh."""
+    for name in ("K_loc", "M_loc", "A_loc"):
+        if getattr(solver, name, None) is not None and \
+                solver.A_loc.shape[0] % int(np.prod(mesh.devices.shape)) == 0:
+            setattr(solver, name,
+                    jax.device_put(getattr(solver, name),
+                                   NamedSharding(mesh, P(axis))))
+    if getattr(solver, "A_loc", None) is not None:
+        solver._solve_A = sharded_element_cg(
+            solver.A_loc, solver.cell_dofs, solver.constraints, mesh, axis)
+    if getattr(solver, "M_loc", None) is not None:
+        solver._solve_M = sharded_element_cg(
+            solver.M_loc, solver.cell_dofs, solver.constraints, mesh, axis)
+    return solver

@@ -42,6 +42,9 @@ class SUPGFluidSolver(FluidSolverBase):
     tpp_max_restarts = 2
     outer_restart = 30
     outer_max_restarts = 40
+    # outer FGMRES relative tolerance (MPI family: 1e-6,
+    # source/mpi_supg_solver.cpp:311-327; serial SCnsIM overrides 1e-8)
+    outer_rtol = 1e-6
     # f32 preconditioner inside the f64 flexible outer solve (see InsIM)
     mixed_precision_precond = False
 
@@ -247,7 +250,7 @@ class SUPGFluidSolver(FluidSolverBase):
         op = cons.wrap_operator(lambda x: element_matvec(
             A_loc, self.cell_dofs, self.n_dofs, x))
         precond = self._make_preconditioner(A_loc, ucons, pcons)
-        atol = 1e-6 * res_norm
+        atol = self.outer_rtol * res_norm
         res = fgmres(op, b, M=precond, atol=atol,
                      restart=self.outer_restart,
                      max_restarts=self.outer_max_restarts)
@@ -614,6 +617,150 @@ class SCnsIM(SUPGFluidSolver):
         r_p = r_p - jnp.einsum("cq,cqnx,cqx->cn", w_p, gp, mom_res)
         r_p = r_p + jnp.einsum("cq,cqnx,cqx->cn", w_p * rho_q * ind, gp,
                                fsi_acc_q)
+
+        r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
+        rhs = scatter_add(self.n_dofs, self.cell_dofs, r_loc)
+        return A_loc, rhs + self._neumann_rhs_const
+
+
+class SerialSCnsIM(SUPGFluidSolver):
+    """Serial-variant slightly-compressible SUPG solver
+    (reference: source/scnsim.cpp:198-658, include/scnsim.h:36-236).
+
+    Differs from the MPI variant (SCnsIM above):
+     - constant per-cell density rho_f + ind*(rho_s - rho_f) and constant
+       laminar viscosity (scnsim.cpp:262-264; no compressible density or
+       artificial-fluid viscosity override)
+     - continuity equation and PML pressure terms scaled by
+       1/(cp/cv * atm) instead of 1/atm (scnsim.cpp:352, 404-413, 432-442)
+     - no LSIC stabilization, no nodal-stress divergence and no gravity in
+       the SUPG/PSPG residual (scnsim.cpp:355-397, 449-461)
+     - Galerkin-only FSI force (scnsim.cpp:462-469)
+     - outer FGMRES rtol 1e-8 (scnsim.cpp:533-535)
+    The nodal FSI fields stand in for the reference's per-cell
+    CellProperty (constant over a covered cell in the reference)."""
+
+    outer_rtol = 1e-8
+
+    def _assemble(self, eval_pt, present, indicator, fsi_acc_nodal,
+                  fsi_stress_nodal, stress_nodal, eddy_nu):
+        params = self.params
+        d = self.dim
+        dt = self.time.get_delta_t()
+        Nu, Np, gu, gp, JxW = self.Nu, self.Np, self.gu, self.gp, self.JxW
+        n_c, n_q = JxW.shape
+        nlp = self.nlp
+        I = jnp.eye(d, dtype=eval_pt.dtype)
+
+        uc, G, pc, gpc, un, pn = self._fields_at_q(eval_pt, present)
+        divu = jnp.trace(G, axis1=2, axis2=3)
+        bf = self.gravity_q
+        sig = self.sigma_pml_q
+        ind = indicator[:, None]
+        nf = 1.0 - ind
+        CA = CP_TO_CV * ATM
+
+        mu = params.viscosity
+        ones = jnp.ones((n_c, n_q), dtype=eval_pt.dtype)
+        rho_q = (params.fluid_rho +
+                 ind * (params.solid_rho - params.fluid_rho)) * ones
+
+        tau_s, tau_p, _ = self._stab_parameters(un, mu * ones, rho_q)
+        w_s = tau_s * JxW
+        w_p = tau_p * JxW
+
+        cd_u = self.u_space.cell_dofs
+        fsi_acc_q = jnp.einsum("ql,cla->cqa", Nu, fsi_acc_nodal[cd_u])
+        fsi_sig_q = jnp.einsum("ql,clab->cqab", Nu, fsi_stress_nodal[cd_u])
+
+        # deal.II tensor conventions: see SUPGInsIM
+        ug = jnp.einsum("cqx,cqlx->cql", uc, gu)
+        uTG = jnp.einsum("cqa,cqax->cqx", uc, G)
+        Gu = jnp.einsum("cqax,cqx->cqa", G, uc)
+        glgm = jnp.einsum("cqlx,cqmx->cqlm", gu, gu)
+        accel = (uc - un) / dt
+        rJ = rho_q * JxW
+
+        # ---------------- Auu (scnsim.cpp:338-397) -----------------------
+        gg = jnp.einsum("cqlx,cqmx,cq->clm", gu, gu, JxW)
+        NN_r = jnp.einsum("cq,ql,qm->clm", rJ, Nu, Nu)
+        conv2 = jnp.einsum("cq,ql,cqm->clm", rJ, Nu, ug)
+        Auu = jnp.einsum("clm,ab->clamb",
+                         mu * gg + conv2 + NN_r / dt
+                         + jnp.einsum("cq,ql,qm->clm", rJ * sig, Nu, Nu), I)
+        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", rJ, Nu, Nu, G)
+        # SUPG (test vector u[a] grad N_l)
+        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", rho_q * w_s, uc,
+                               Nu, gu, G)
+        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", rho_q * w_s, uc, uc,
+                               glgm)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
+                               gu, uTG, I)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s / dt, uc,
+                               gu, Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s / dt,
+                               Nu, gu, uc - un, I)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu, gpc,
+                               I)
+        # SUPG PML
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s * sig,
+                               uc, gu, Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s * sig,
+                               Nu, gu, uc, I)
+        Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
+
+        # ---------------- Aup --------------------------------------------
+        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW)
+        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", w_s, uc, gu, gp)
+        Aup = Aup.reshape(n_c, self.nu_loc, nlp)
+
+        # ---------------- Apu (continuity, scnsim.cpp:400-413) -----------
+        Apu = jnp.einsum("cq,qn,cqmb->cnmb",
+                         (ATM + pc) / ATM * JxW, Np, gu)
+        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", JxW / CA, Np, Nu, gpc)
+        # PSPG
+        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", rho_q * w_p, gp, Nu,
+                               G)
+        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", rho_q * w_p, uc, gp,
+                               gu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p / dt, gp, Nu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p * sig, gp, Nu)
+        Apu = Apu.reshape(n_c, nlp, self.nu_loc)
+
+        # ---------------- App --------------------------------------------
+        App = jnp.einsum("cq,qn,qo->cno", sig / CA * JxW, Np, Np)
+        App = App + jnp.einsum("cq,qn,qo,cq->cno",
+                               CP_TO_CV * nf / CA * JxW, Np, Np, divu)
+        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", nf / CA * JxW, Np, gp,
+                               uc)
+        App = App + jnp.einsum("cq,qn,qo->cno",
+                               (nf / CA + ind / KAPPA_S) / dt * JxW, Np, Np)
+        App = App + jnp.einsum("cq,cqnx,cqox->cno", w_p, gp, gp)
+
+        A_loc = jnp.concatenate([
+            jnp.concatenate([Auu, Aup], axis=2),
+            jnp.concatenate([Apu, App], axis=2)], axis=1)
+
+        # ---------------- RHS (scnsim.cpp:428-469) -----------------------
+        mom_res = (rho_q[..., None] * (accel + uTG) + gpc +
+                   (rho_q * sig)[..., None] * uc)
+        r_u = (-mu * jnp.einsum("cqax,cqlx,cq->cla", G, gu, JxW)
+               - jnp.einsum("cq,ql,cqa->cla", rJ, Nu, Gu)
+               + jnp.einsum("cq,cqla->cla", pc * JxW, gu)
+               - jnp.einsum("cq,ql,cqa->cla", rJ / dt, Nu, uc - un)
+               + jnp.einsum("cq,ql,cqa->cla", rJ, Nu, bf)
+               - jnp.einsum("cq,ql,cqa->cla", rJ * sig, Nu, uc))
+        r_u = r_u - jnp.einsum("cq,cqa,cqlx,cqx->cla", w_s, uc, gu, mom_res)
+        r_u = r_u + ind[..., None] * (
+            jnp.einsum("cqla,cqab,cq->clb", gu, fsi_sig_q, JxW) +
+            jnp.einsum("cq,ql,cqa->cla", rJ, Nu, fsi_acc_q))
+
+        cont_res = (CP_TO_CV * (ATM + pc) * divu +
+                    jnp.einsum("cqx,cqx->cq", uc, gpc) * nf +
+                    (pc - pn) / dt * (nf + CA / KAPPA_S * ind)) / CA
+        r_p = (-jnp.einsum("cq,qn->cn", cont_res * JxW, Np)
+               - jnp.einsum("cq,qn->cn", sig * pc / CA * JxW, Np))
+        r_p = r_p - jnp.einsum("cq,cqnx,cqx->cn", w_p, gp, mom_res)
 
         r_loc = jnp.concatenate([r_u.reshape(n_c, -1), r_p], axis=1)
         rhs = scatter_add(self.n_dofs, self.cell_dofs, r_loc)

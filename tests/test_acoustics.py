@@ -54,6 +54,39 @@ def test_acoustic_duct_wave_scnsim():
 
 
 @pytest.mark.slow
+def test_acoustic_duct_wave_serial_scnsim():
+    """Serial-variant SCnsIM (reference: tests/acoustic_duct_wave, golden
+    vmax = 5.91 rtol 1e-3).  The 5.91-vs-5.93 gap against the MPI test is
+    almost entirely the serial test's BC functor: it lacks the MPI test's
+    first-step guard, so its first increment subtracts tv(0) = 0.0231 and
+    the inflow is offset by -0.39% forever
+    (tests/acoustic_duct_wave/acoustic_duct_wave.cpp:40-44 vs
+    tests/acoustic_duct_wave_mpi/acoustic_duct_wave_mpi.cpp:43-46)."""
+    from openifem_tpu.solvers.fluid.supg import SerialSCnsIM
+    p = AllParameters.from_file(
+        f"{REF}/acoustic_duct_wave/acoustic_duct_wave.prm")
+    mesh = generators.subdivided_hyper_rectangle([8, 2], [0, 0], [4.0, 1.0])
+    f = SerialSCnsIM(mesh, p)
+
+    def pulse(points, component, t):
+        # guard-free increment, matching the serial test functor exactly
+        out = np.zeros(len(points))
+
+        def tv(tt):
+            return 6.0 * np.exp(-0.5 * ((tt - 0.5e-4) / 0.15e-4) ** 2)
+
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            out[m] = tv(t) - tv(t - p.time_step)
+        return out
+
+    f.add_hard_coded_boundary_condition(0, pulse)
+    f.run(verbose=False)
+    vmax = float(f.velocity_part().max())
+    assert abs(vmax - 5.91) / 5.91 < 1e-3
+
+
+@pytest.mark.slow
 def test_acoustic_duct_wave_scnsex():
     p = AllParameters.from_file(
         f"{REF}/acoustic_duct_wave_mpi_scnsex/"

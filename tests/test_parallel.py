@@ -45,3 +45,33 @@ def test_sharded_matvec_matches_single_device():
     f2.run_one_step(False, verbose=False)
     out = np.asarray(f2.present_solution)
     assert np.allclose(out, ref, atol=1e-10)
+
+
+def test_dof_sharded_cg_matches_unsharded():
+    """Dof-range-sharded CG (padded layout) reproduces the unsharded solid
+    solve to machine precision on the 8-device mesh."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_solid_solver
+    from openifem_tpu.solvers.solid import LinearElasticity
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/solid_gravity_linearelastic/"
+        "solid_gravity_linearelastic.prm")
+    p.end_time = 2 * p.time_step
+
+    def make(shard):
+        mesh = generators.subdivided_hyper_rectangle(
+            [5, 3], [0.0, 0.0], [1.0, 0.6])
+        solid = LinearElasticity(mesh, p)
+        solid.setup()
+        if shard:
+            shard_solid_solver(solid, make_cell_mesh())
+        solid.run_one_step(True)
+        solid.run_one_step(False)
+        return np.asarray(solid.get_current_solution())
+
+    u_ref = make(False)
+    u_sh = make(True)
+    # n_dofs = 48 (not divisible by 8) and n_cells = 15: both get padded
+    assert np.abs(u_sh - u_ref).max() < 1e-10 * max(1.0, np.abs(u_ref).max())
