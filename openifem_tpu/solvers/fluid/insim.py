@@ -41,6 +41,17 @@ class InsIM(FluidSolverBase):
     a_inner_restart = 50
     a_inner_restarts = 4
     a_inner_rtol = 1e-3
+    # Mp/Sm CG relative tolerance inside the preconditioner.  The outer
+    # solve is FLEXIBLE GMRES, so preconditioner tolerances only trade
+    # inner vs outer iteration counts — the converged Newton update is
+    # unchanged (reference uses 1e-6, source/insim.cpp:26-52)
+    mp_sm_rtol = 1e-6
+    # nodal d x d block-Jacobi for the inner A-solve instead of pointwise
+    # Jacobi (preconditioner choice only; converged update unchanged)
+    a_block_jacobi = False
+    # f32 Jacobian apply in the outer FGMRES (inexact Newton); the f64
+    # assembled residual still gates Newton convergence
+    f32_matrix = False
     outer_restart = 30
     outer_max_restarts = 40
     # run the whole block-Schur preconditioner in float32: the outer FGMRES
@@ -110,6 +121,35 @@ class InsIM(FluidSolverBase):
         # source/insim.cpp:288-319)
         self._neumann_rhs_const = self._neumann_rhs()
 
+        # constant (linearization-independent) part of the Newton matrix:
+        # viscous + grad-div + mass/dt + B/B^T blocks.  Only the two
+        # convection terms change per iteration.
+        nu_visc, gamma, rho = params.viscosity, params.grad_div, \
+            params.fluid_rho
+        dt = self.time.get_delta_t()
+        I_np = np.eye(d)
+        NN = np.einsum("ql,qm,cq->clm", cvu.N, cvu.N, cvu.JxW)
+        gg = np.einsum("cqlx,cqmx,cq->clm", cvu.grad, cvu.grad, cvu.JxW)
+        Auu_c = np.einsum("clm,ab->clamb", nu_visc * gg + (rho / dt) * NN,
+                          I_np)
+        Auu_c = Auu_c + (gamma * rho) * np.einsum(
+            "cqla,cqmb,cq->clamb", cvu.grad, cvu.grad, cvu.JxW)
+        Auu_c = Auu_c.reshape(n_c, self.nu_loc, self.nu_loc)
+        Aup = -np.einsum("cqla,qn,cq->clan", cvu.grad, cvp.N,
+                         cvu.JxW).reshape(n_c, self.nu_loc, nlp)
+        Apu = -np.einsum("qn,cqmb,cq->cnmb", cvp.N, cvu.grad,
+                         cvu.JxW).reshape(n_c, nlp, self.nu_loc)
+        nl = self.nu_loc + nlp
+        A_const = np.zeros((n_c, nl, nl))
+        A_const[:, :self.nu_loc, :self.nu_loc] = Auu_c
+        A_const[:, :self.nu_loc, self.nu_loc:] = Aup
+        A_const[:, self.nu_loc:, :self.nu_loc] = Apu
+        self._mdt = jnp.float32 if self.f32_matrix else rdt
+        self._A_const = jnp.asarray(A_const, dtype=self._mdt)
+        self._Nu_m = jnp.asarray(cvu.N, dtype=self._mdt)
+        self._gu_m = jnp.asarray(cvu.grad, dtype=self._mdt)
+        self._JxW_m = jnp.asarray(cvu.JxW, dtype=self._mdt)
+
         self._newton_iter = jax.jit(self._newton_iter_impl)
 
     def _neumann_rhs(self):
@@ -159,29 +199,23 @@ class InsIM(FluidSolverBase):
         un = jnp.einsum("ql,cla->cqa", Nu, unl)
         divu = jnp.trace(guc, axis1=2, axis2=3)
 
-        I = jnp.eye(d, dtype=eval_pt.dtype)
-        # scalar building blocks
-        NN = jnp.einsum("ql,qm,cq->clm", Nu, Nu, JxW)        # mass-like
-        gg = jnp.einsum("cqlx,cqmx,cq->clm", gu, gu, JxW)    # stiffness-like
-        g_uc = jnp.einsum("cqmx,cqx->cqm", gu, uc)
-        conv2 = jnp.einsum("ql,cqm,cq->clm", Nu, g_uc, JxW)
-
-        Auu = jnp.einsum("clm,ab->clamb", nu_visc * gg + rho * conv2, I)
-        Auu = Auu + rho * jnp.einsum("ql,qm,cqab,cq->clamb", Nu, Nu, guc, JxW)
-        Auu = Auu + (gamma * rho) * jnp.einsum("cqla,cqmb,cq->clamb",
-                                               gu, gu, JxW)
-        Auu = Auu + (rho / dt) * jnp.einsum("clm,ab->clamb", NN, I)
-        Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
-
-        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW).reshape(
-            n_c, self.nu_loc, nlp := self.nlp)
-        Apu = -jnp.einsum("qn,cqmb,cq->cnmb", Np, gu, JxW).reshape(
-            n_c, nlp, self.nu_loc)
-        App = jnp.zeros((n_c, nlp, nlp), dtype=eval_pt.dtype)
-
-        A_loc = jnp.concatenate([
-            jnp.concatenate([Auu, Aup], axis=2),
-            jnp.concatenate([Apu, App], axis=2)], axis=1)
+        # matrix: constant part precomputed at setup; only the two
+        # convection terms are linearization-dependent.  In f32_matrix mode
+        # both are built in f32 (the operator and preconditioner consume the
+        # matrix in f32 anyway; the f64 rhs below gates Newton convergence).
+        mdt = self._mdt
+        I_m = jnp.eye(d, dtype=mdt)
+        Nu_m, gu_m, JxW_m = self._Nu_m, self._gu_m, self._JxW_m
+        uc_m = uc.astype(mdt)
+        guc_m = guc.astype(mdt)
+        g_uc = jnp.einsum("cqmx,cqx->cqm", gu_m, uc_m)
+        conv2 = jnp.einsum("ql,cqm,cq->clm", Nu_m, g_uc, JxW_m)
+        conv = jnp.einsum("clm,ab->clamb", rho * conv2, I_m)
+        conv = conv + rho * jnp.einsum("ql,qm,cqab,cq->clamb", Nu_m, Nu_m,
+                                       guc_m, JxW_m)
+        conv = conv.reshape(n_c, self.nu_loc, self.nu_loc)
+        A_loc = self._A_const.at[:, :self.nu_loc, :self.nu_loc].add(conv)
+        nlp = self.nlp
 
         # RHS (negative residual)
         conv_c = jnp.einsum("cqax,cqx->cqa", guc, uc)
@@ -231,9 +265,38 @@ class InsIM(FluidSolverBase):
 
         op_A = ucons.wrap_operator(lambda x: element_matvec(
             Auu, self.cell_dofs_u, self.n_u, x))
-        diag_A = jnp.where(ucons.fixed, 1.0, element_diag(
-            Auu, self.cell_dofs_u, self.n_u))
-        dinv_A = jnp.where(diag_A != 0, 1.0 / diag_A, 1.0)
+        if self.a_block_jacobi:
+            # nodal d x d block-Jacobi: the grad-div term couples velocity
+            # components, which pointwise Jacobi ignores
+            from ...la.smalltensor import inv as small_inv
+            d = self.dim
+            nlu = self.nu_loc // d
+            n_c = Auu.shape[0]
+            blocks = Auu.reshape(n_c, nlu, d, nlu, d)
+            diag_blocks = blocks[:, jnp.arange(nlu), :, jnp.arange(nlu), :]
+            # ^ (nlu, n_c, d, d) after fancy indexing; move cells first
+            diag_blocks = jnp.swapaxes(diag_blocks, 0, 1)
+            nodes = self.cell_dofs_u.reshape(n_c, nlu, d)[:, :, 0] // d
+            n_nodes = self.n_u // d
+            D = jnp.zeros((n_nodes, d, d), dtype=pdt).at[
+                nodes.reshape(-1)].add(diag_blocks.reshape(-1, d, d))
+            fixed = ucons.fixed.reshape(n_nodes, d)
+            I_d = jnp.eye(d, dtype=pdt)
+            fi = fixed[:, :, None] | fixed[:, None, :]
+            D = jnp.where(fi, I_d[None], D)
+            Dinv = small_inv(D)
+
+            def apply_dinv_A(r):
+                return jnp.einsum(
+                    "nab,nb->na", Dinv, r.reshape(n_nodes, d),
+                    preferred_element_type=pdt).reshape(-1)
+        else:
+            diag_A = jnp.where(ucons.fixed, 1.0, element_diag(
+                Auu, self.cell_dofs_u, self.n_u))
+            dinv_A = jnp.where(diag_A != 0, 1.0 / diag_A, 1.0)
+
+            def apply_dinv_A(r):
+                return r * dinv_A
 
         def apply_B(xu):   # u -> p   (condensed)
             xu = ucons.expand(xu)
@@ -272,7 +335,7 @@ class InsIM(FluidSolverBase):
             v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
             np_norm = jnp.linalg.norm(vp)
-            atol_p = jnp.maximum(1e-6 * np_norm, 1e-10)
+            atol_p = jnp.maximum(self.mp_sm_rtol * np_norm, 1e-10)
             tmp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
                      maxiter=self.mp_cg_maxiter).x
             tmp = tmp * (-(nu_visc + gamma * rho))
@@ -281,7 +344,7 @@ class InsIM(FluidSolverBase):
             dst_p = sm * (-rho / dt) + tmp
             utmp = vu - apply_BT(dst_p)
             atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
-            dst_u = fgmres(op_A, utmp, M=lambda r: r * dinv_A,
+            dst_u = fgmres(op_A, utmp, M=apply_dinv_A,
                            atol=atol_u, restart=self.a_inner_restart,
                            max_restarts=self.a_inner_restarts).x
             return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
@@ -296,8 +359,21 @@ class InsIM(FluidSolverBase):
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
 
-        op = cons.wrap_operator(lambda x: element_matvec(
-            A_loc, self.cell_dofs, self.n_dofs, x))
+        if self.f32_matrix:
+            # inexact Newton: the Jacobian apply runs in f32 (MXU-native)
+            # while the assembled residual, Newton criterion and update
+            # accumulation stay f64 — Newton self-corrects the update error
+            A_op = A_loc.astype(jnp.float32)
+
+            def apply_A(x):
+                y = element_matvec(A_op, self.cell_dofs, self.n_dofs,
+                                   x.astype(jnp.float32))
+                return y.astype(x.dtype)
+        else:
+            def apply_A(x):
+                return element_matvec(A_loc, self.cell_dofs, self.n_dofs, x)
+
+        op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
         atol = jnp.maximum(1e-8 * res_norm, 1e-10)
         res = fgmres(op, b, M=precond, atol=atol,

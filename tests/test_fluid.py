@@ -195,3 +195,27 @@ def test_standalone_kelly_amr():
     fine = centers[f.mesh.level == 3]
     assert fine[:, 1].mean() > 0.6      # concentrated near the lid
     assert np.isfinite(f.velocity_part()).all()
+
+
+def test_insim_fast_flags_match_reference_path():
+    """The performance flags (f32 Jacobian apply + loose Mp/Sm inner
+    tolerance) change only the Krylov path, not the converged Newton
+    solution: the f64 assembled residual gates convergence either way."""
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.03
+    p.global_refinements[0] = 3
+
+    def run(fast):
+        class F(InsIM):
+            mixed_precision_precond = fast
+            f32_matrix = fast
+            mp_sm_rtol = 1e-1 if fast else 1e-6
+        mesh = generators.hyper_cube(0.0, 1.0, dim=2)
+        f = F(mesh, p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    fast = run(True)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(fast - ref).max() < 1e-7 * scale
