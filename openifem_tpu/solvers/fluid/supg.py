@@ -47,6 +47,9 @@ class SUPGFluidSolver(FluidSolverBase):
     outer_rtol = 1e-6
     # f32 preconditioner inside the f64 flexible outer solve (see InsIM)
     mixed_precision_precond = False
+    # f32 Jacobian apply in the outer FGMRES (inexact Newton); the f64
+    # assembled residual still gates Newton convergence (see InsIM)
+    f32_matrix = False
 
     def setup(self):
         super().setup()
@@ -247,8 +250,17 @@ class SUPGFluidSolver(FluidSolverBase):
                                     stress_nodal, eddy_nu)
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
-        op = cons.wrap_operator(lambda x: element_matvec(
-            A_loc, self.cell_dofs, self.n_dofs, x))
+        if self.f32_matrix:
+            A_op = A_loc.astype(jnp.float32)
+
+            def apply_A(x):
+                y = element_matvec(A_op, self.cell_dofs, self.n_dofs,
+                                   x.astype(jnp.float32))
+                return y.astype(x.dtype)
+        else:
+            def apply_A(x):
+                return element_matvec(A_loc, self.cell_dofs, self.n_dofs, x)
+        op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
         atol = self.outer_rtol * res_norm
         res = fgmres(op, b, M=precond, atol=atol,

@@ -41,3 +41,32 @@ def test_pressure_driven_supg():
     v = np.sort(f.velocity_part())
     assert abs(v[-1] - 2.5e-2) / 2.5e-2 < 2e-2
     assert abs(v[-30] - 2.5e-2) / 2.5e-2 < 1e-3
+
+
+def test_scnsim_f32_matrix_matches_reference_path():
+    """The f32 Jacobian-apply flag leaves the converged SUPG Newton
+    solution unchanged (the f64 assembled residual gates convergence)."""
+    import numpy as np
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_plane_wall_driven_mpi_insim_supg/"
+        "fluid_plane_wall_driven_mpi_insim_supg.prm")
+    p.end_time = 3 * p.time_step
+
+    def run(fast):
+        class F(SCnsIM):
+            mixed_precision_precond = fast
+            f32_matrix = fast
+        mesh = generators.subdivided_hyper_rectangle(
+            [10, 8], [0.0, 0.0], [2.0, 0.4])
+        f = F(mesh, p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    fast = run(True)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(fast - ref).max() < 1e-6 * scale
