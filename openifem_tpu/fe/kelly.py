@@ -94,3 +94,19 @@ def refine_fraction_flags(indicators: np.ndarray, top_fraction: float = 0.6):
     k = int(np.searchsorted(csum, top_fraction * total)) + 1
     flags[order[:k]] = True
     return flags
+
+
+def coarsen_fraction_flags(indicators: np.ndarray,
+                           bottom_fraction: float = 0.4):
+    """deal.II refine_and_coarsen_fixed_fraction's coarsening half: flag the
+    smallest-error cells accounting for `bottom_fraction` of the total."""
+    order = np.argsort(indicators)
+    err = indicators[order] ** 2
+    csum = np.cumsum(err)
+    total = csum[-1] if len(csum) else 0.0
+    flags = np.zeros(len(indicators), dtype=bool)
+    if total <= 0:
+        return flags
+    k = int(np.searchsorted(csum, bottom_fraction * total, side="right"))
+    flags[order[:k]] = True
+    return flags

@@ -169,9 +169,9 @@ class FSI:
     def refine_mesh(self, min_level: int, max_level: int,
                     verbose: bool = False):
         """Refine fluid cells within one diameter of the moved solid
-        boundary, capped at max_level, with solution transfer
-        (reference: source/fsi.cpp:385-456; coarsening below the initial
-        level never triggers in the reference tests and is not performed)."""
+        boundary and coarsen the rest (sibling families only, capped at
+        min_level), with solution transfer
+        (reference: source/fsi.cpp:385-456)."""
         import numpy as np
         from ..fe.transfer import transfer_nodal_field
         fluid, solid = self.fluid, self.solid
@@ -191,15 +191,20 @@ class FSI:
         diam = fmesh.cell_diameters()
         dist = np.linalg.norm(fc[:, None, :] - bpts[None, :, :],
                               axis=-1).min(axis=1)
-        flags = (dist < diam) & (fmesh.level < max_level)
-        if not flags.any():
+        near = dist < diam
+        flags = near & (fmesh.level < max_level)
+        cflags = ~near
+        mesh2, old_to_new = fmesh.coarsen(cflags, min_level)
+        if not flags.any() and mesh2.n_cells == fmesh.n_cells:
             return
         old_mesh = fmesh
         old_u_space, old_p_space = fluid.u_space, fluid.p_space
         old_solution = fluid.present_solution
         n_u_old = fluid.n_u
 
-        fluid.mesh = fmesh.refine(flags)
+        rflags = np.zeros(mesh2.n_cells, dtype=bool)
+        rflags[old_to_new[flags]] = True
+        fluid.mesh = mesh2.refine(rflags)
         fluid.setup()
         if verbose:
             print(f"FSI refine: {old_mesh.n_cells} -> "

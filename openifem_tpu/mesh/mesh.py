@@ -57,6 +57,11 @@ class Mesh:
     tfi: object = None                   # TransfiniteManifold or None
     tfi_coarse: np.ndarray = None        # (n_c,) int32
     tfi_rect: np.ndarray = None          # (n_c, 4) float64
+    # sibling tracking for coarsening: cells created by one refine() call on
+    # the same parent share a unique family id; child_index is the z-order
+    # child number within the family (-1 = no recorded parent)
+    family: np.ndarray = None            # (n_c,) int64
+    child_index: np.ndarray = None       # (n_c,) int8
 
     def __post_init__(self):
         n_c = len(self.cells)
@@ -76,6 +81,10 @@ class Mesh:
         if self.tfi_rect is None:
             self.tfi_rect = np.tile(
                 np.array([0.0, 0.0, 1.0, 1.0]), (n_c, 1))
+        if self.family is None:
+            self.family = np.full(n_c, -1, dtype=np.int64)
+        if self.child_index is None:
+            self.child_index = np.full(n_c, -1, dtype=np.int8)
         self.vertices = np.asarray(self.vertices, dtype=np.float64)
         self.cells = np.asarray(self.cells, dtype=np.int64)
 
@@ -147,6 +156,154 @@ class Mesh:
                         flags[b] = True
                         changed = True
         return self._refine(flags)
+
+    def coarsen(self, flags: np.ndarray, min_level: int = 0):
+        """deal.II-style sibling coarsening: a family of 2^dim children is
+        merged back into its parent iff ALL children are flagged, none is at
+        or below min_level, and no face neighbor is finer than the children
+        (2:1 balance; deal.II clears such coarsen flags in
+        prepare_coarsening_and_refinement).
+
+        Only families recorded by refine() can coarsen (the original coarse
+        cells have no parent, mirroring deal.II level-0 cells; a cell
+        produced by coarsen() loses its own family record, so repeated
+        multi-level coarsening stops one level up — reference tests never
+        coarsen below the initial grid, source/fluid_solver.cpp:246-250).
+
+        Returns (mesh, old_to_new): per-old-cell index into the new mesh
+        (children map to their parent's index)."""
+        flags = np.asarray(flags, dtype=bool)
+        nv = 2 ** self.dim
+        ident = np.arange(self.n_cells)
+        cand: Dict[int, list] = {}
+        for c in np.where(flags & (self.family >= 0) &
+                          (self.level > min_level))[0]:
+            cand.setdefault(int(self.family[c]), []).append(int(c))
+        groups = {f: sorted(cs, key=lambda x: int(self.child_index[x]))
+                  for f, cs in cand.items() if len(cs) == nv}
+        if not groups:
+            return self, ident
+
+        face_map = self._face_map()
+        fv = FACE_VERTICES[self.dim]
+        in_group = np.zeros(self.n_cells, dtype=bool)
+        for cs in groups.values():
+            in_group[cs] = True
+
+        faces_at_vertex: Dict[int, list] = {}
+        if self.dim == 2:
+            for key in face_map:
+                for v in key:
+                    faces_at_vertex.setdefault(int(v), []).append(key)
+
+        def has_finer_neighbor(cs):
+            gset = set(cs)
+            for c in cs:
+                for f in range(2 * self.dim):
+                    verts = [int(self.cells[c, v]) for v in fv[f]]
+                    key = frozenset(verts)
+                    others = [x for x in face_map.get(key, [])
+                              if x[0] != c and x[0] not in gset]
+                    if others or self.boundary_id[c, f] >= 0:
+                        continue  # conforming neighbor or boundary
+                    if self.dim == 3:
+                        return True  # conservative: unknown nonconforming
+                    # 2D: distinguish coarser (ok) from finer (veto):
+                    # finer iff two outside half-faces (a,x) + (x,b) exist
+                    a, b2 = verts
+                    for key2 in faces_at_vertex.get(a, []):
+                        if b2 in key2:
+                            continue
+                        (x,) = key2 - {a}
+                        k3 = frozenset((int(x), b2))
+                        if k3 in face_map and \
+                                any(cc not in gset for cc, _ in
+                                    face_map[key2]) and \
+                                any(cc not in gset for cc, _ in
+                                    face_map[k3]):
+                            return True
+            return False
+
+        groups = {f: cs for f, cs in groups.items()
+                  if not has_finer_neighbor(cs)}
+        if not groups:
+            return self, ident
+
+        coarsened = np.zeros(self.n_cells, dtype=bool)
+        for cs in groups.values():
+            coarsened[cs] = True
+
+        new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
+            [], [], [], [], [], []
+        new_tfic, new_tfir, new_fam, new_chi = [], [], [], []
+        old_to_new = np.full(self.n_cells, -1, dtype=np.int64)
+
+        def emit(cell, mat, bnd, fman, cman, lvl, tfic, tfir, fam, chi):
+            i = len(new_cells)
+            new_cells.append(cell)
+            new_mat.append(mat)
+            new_bnd.append(bnd)
+            new_fman.append(fman)
+            new_cman.append(cman)
+            new_lvl.append(lvl)
+            new_tfic.append(tfic)
+            new_tfir.append(tfir)
+            new_fam.append(fam)
+            new_chi.append(chi)
+            return i
+
+        done = set()
+        for c in range(self.n_cells):
+            if not coarsened[c]:
+                old_to_new[c] = emit(
+                    list(self.cells[c]), self.material_id[c],
+                    list(self.boundary_id[c]), list(self.face_manifold[c]),
+                    self.cell_manifold[c], self.level[c],
+                    self.tfi_coarse[c], list(self.tfi_rect[c]),
+                    self.family[c], self.child_index[c])
+                continue
+            fam = int(self.family[c])
+            if fam in done:
+                continue
+            done.add(fam)
+            cs = groups[fam]
+            # parent corner i = child i's local corner i (z-order children)
+            pcell = [int(self.cells[cs[i], i]) for i in range(nv)]
+            pbnd, pfman = [], []
+            for f in range(2 * self.dim):
+                d_ax, side = f // 2, f % 2
+                rep = cs[side << d_ax]
+                pbnd.append(int(self.boundary_id[rep, f]))
+                pfman.append(int(self.face_manifold[rep, f]))
+            c0, cl = cs[0], cs[-1]
+            rect = [self.tfi_rect[c0][0], self.tfi_rect[c0][1],
+                    self.tfi_rect[cl][2], self.tfi_rect[cl][3]]
+            i_new = emit(pcell, self.material_id[c0], pbnd, pfman,
+                         self.cell_manifold[c0], self.level[c0] - 1,
+                         self.tfi_coarse[c0], rect, -1, -1)
+            for cc in cs:
+                old_to_new[cc] = i_new
+
+        cells_arr = np.array(new_cells, dtype=np.int64)
+        # compact vertices (drop the now-unused midpoints/centers)
+        used = np.unique(cells_arr)
+        remap = np.full(self.n_vertices, -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        mesh = Mesh(dim=self.dim,
+                    vertices=self.vertices[used],
+                    cells=remap[cells_arr],
+                    material_id=np.array(new_mat, dtype=np.int32),
+                    boundary_id=np.array(new_bnd, dtype=np.int32),
+                    face_manifold=np.array(new_fman, dtype=np.int32),
+                    cell_manifold=np.array(new_cman, dtype=np.int32),
+                    level=np.array(new_lvl, dtype=np.int32),
+                    manifolds=self.manifolds,
+                    tfi=self.tfi,
+                    tfi_coarse=np.array(new_tfic, dtype=np.int32),
+                    tfi_rect=np.array(new_tfir, dtype=np.float64),
+                    family=np.array(new_fam, dtype=np.int64),
+                    child_index=np.array(new_chi, dtype=np.int8))
+        return mesh, old_to_new
 
     def _face_map(self):
         """Map frozenset(face vertices) -> list of (cell, face)."""
@@ -224,6 +381,8 @@ class Mesh:
         new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
             [], [], [], [], [], []
         new_tfic, new_tfir = [], []
+        new_fam, new_chi = [], []
+        fam_base = int(max(0, self.family.max() + 1))
         for c in range(self.n_cells):
             v = self.cells[c]
             if not flags[c]:
@@ -235,6 +394,8 @@ class Mesh:
                 new_lvl.append(self.level[c])
                 new_tfic.append(self.tfi_coarse[c])
                 new_tfir.append(list(self.tfi_rect[c]))
+                new_fam.append(self.family[c])
+                new_chi.append(self.child_index[c])
                 continue
             cman = self.cell_manifold[c]
             cid = int(self.tfi_coarse[c])
@@ -290,6 +451,8 @@ class Mesh:
                 new_lvl.append(self.level[c] + 1)
                 new_tfic.append(kid_cids[kk])
                 new_tfir.append(kid_rects[kk])
+                new_fam.append(fam_base + c)
+                new_chi.append(kk)
 
         return Mesh(dim=2,
                     vertices=np.array(verts),
@@ -302,7 +465,9 @@ class Mesh:
                     manifolds=self.manifolds,
                     tfi=self.tfi,
                     tfi_coarse=np.array(new_tfic, dtype=np.int32),
-                    tfi_rect=np.array(new_tfir, dtype=np.float64))
+                    tfi_rect=np.array(new_tfir, dtype=np.float64),
+                    family=np.array(new_fam, dtype=np.int64),
+                    child_index=np.array(new_chi, dtype=np.int8))
 
     def _refine_3d(self, flags: np.ndarray) -> "Mesh":
         verts = list(self.vertices)
@@ -354,6 +519,8 @@ class Mesh:
 
         new_cells, new_mat, new_bnd, new_fman, new_cman, new_lvl = \
             [], [], [], [], [], []
+        new_fam, new_chi = [], []
+        fam_base = int(max(0, self.family.max() + 1))
         for c in range(self.n_cells):
             v = [int(x) for x in self.cells[c]]
             if not flags[c]:
@@ -363,6 +530,8 @@ class Mesh:
                 new_fman.append(list(self.face_manifold[c]))
                 new_cman.append(self.cell_manifold[c])
                 new_lvl.append(self.level[c])
+                new_fam.append(self.family[c])
+                new_chi.append(self.child_index[c])
                 continue
             # 12 edge midpoints
             em = {e: edge_mid(c, v[e[0]], v[e[1]]) for e in _EDGES_3D}
@@ -421,6 +590,8 @@ class Mesh:
                         new_fman.append(kf)
                         new_cman.append(cman)
                         new_lvl.append(self.level[c] + 1)
+                        new_fam.append(fam_base + c)
+                        new_chi.append(kx + 2 * ky + 4 * kz)
 
         return Mesh(dim=3,
                     vertices=np.array(verts),
@@ -430,4 +601,6 @@ class Mesh:
                     face_manifold=np.array(new_fman, dtype=np.int32),
                     cell_manifold=np.array(new_cman, dtype=np.int32),
                     level=np.array(new_lvl, dtype=np.int32),
-                    manifolds=self.manifolds)
+                    manifolds=self.manifolds,
+                    family=np.array(new_fam, dtype=np.int64),
+                    child_index=np.array(new_chi, dtype=np.int8))

@@ -225,21 +225,25 @@ class FluidSolverBase:
     def refine_mesh(self, min_level: int, max_level: int,
                     verbose: bool = False):
         """Kelly-driven standalone AMR with solution transfer
-        (reference: source/fluid_solver.cpp:215-265; refinement half of
-        refine_and_coarsen_fixed_fraction(0.6, 0.4) — coarsening below the
-        initial level is not performed)."""
-        from ...fe.kelly import kelly_estimate, refine_fraction_flags
+        (reference: source/fluid_solver.cpp:215-265,
+        refine_and_coarsen_fixed_fraction(0.6, 0.4))."""
+        from ...fe.kelly import (coarsen_fraction_flags, kelly_estimate,
+                                 refine_fraction_flags)
         from ...fe.transfer import transfer_nodal_field
         eta = kelly_estimate(self.u_space, np.asarray(self.present_solution),
                              n_components=self.dim, component_offset=0)
         flags = refine_fraction_flags(eta, 0.6)
         flags &= self.mesh.level < max_level
-        if not flags.any():
+        cflags = coarsen_fraction_flags(eta, 0.4) & ~flags
+        if not flags.any() and not cflags.any():
             return
         old_mesh, old_u, old_p = self.mesh, self.u_space, self.p_space
         old_solution = self.present_solution
         n_u_old = self.n_u
-        self.mesh = self.mesh.refine(flags)
+        mesh2, old_to_new = self.mesh.coarsen(cflags, min_level)
+        rflags = np.zeros(mesh2.n_cells, dtype=bool)
+        rflags[old_to_new[flags]] = True
+        self.mesh = mesh2.refine(rflags)
         self.setup()
         if verbose:
             print(f"Kelly refine: {old_mesh.n_cells} -> "
