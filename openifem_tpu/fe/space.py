@@ -198,15 +198,7 @@ class FESpace:
         if mesh.level.max() == mesh.level.min():
             return  # conforming
         if mesh.dim == 3:
-            # 3D local refinement not yet supported (3D reference tests use
-            # global refinement only)
-            fm = mesh._face_map()
-            for key, lst in fm.items():
-                if len(lst) == 1:
-                    c, f = lst[0]
-                    if mesh.boundary_id[c, f] < 0:
-                        raise NotImplementedError(
-                            "3D hanging nodes not implemented")
+            self._build_hanging_constraints_3d()
             return
 
         # position lookup for mesh vertices
@@ -257,6 +249,109 @@ class FESpace:
                     wb = 2 * t * (t - 0.5)
                     self.hanging.append((fine, [a, M, b], [wa, wm, wb]))
 
+    def _build_hanging_constraints_3d(self):
+        """3D hanging-node constraints by face interpolation: every fine
+        node on a nonconforming coarse face is constrained by the coarse
+        face's own nodes, with weights = the coarse FACE shape functions
+        (tensor Lagrange) at the node's (s, t) face coordinates.  Edge
+        hangings fall out as the boundary-restriction of the same formula.
+        deal.II equivalent: DoFTools::make_hanging_node_constraints for
+        hexahedra (1-irregular meshes)."""
+        mesh, k = self.mesh, self.degree
+        fm = mesh._face_map()
+        vkey = {tuple(np.round(p, 12)): i
+                for i, p in enumerate(mesh.vertices)}
+        single = [(key, c, f) for key, lst in fm.items() if len(lst) == 1
+                  for c, f in lst if mesh.boundary_id[c, f] < 0]
+        if not single:
+            return
+
+        def face_corners(c, f):
+            return [int(mesh.cells[c, v]) for v in FACE_VERTICES[3][f]]
+
+        def invert(corners_xyz, p):
+            """(s, t) of point p on the bilinear patch (z-order corners)."""
+            A, B, C, D = corners_xyz  # s-fast: A=(0,0) B=(1,0) C=(0,1) D=(1,1)
+            st = np.array([0.5, 0.5])
+            for _ in range(30):
+                s, t = st
+                X = (1-s)*(1-t)*A + s*(1-t)*B + (1-s)*t*C + s*t*D
+                r = X - p
+                Xs = -(1-t)*A + (1-t)*B - t*C + t*D
+                Xt = -(1-s)*A - s*B + (1-s)*C + s*D
+                J = np.array([[Xs @ Xs, Xs @ Xt], [Xs @ Xt, Xt @ Xt]])
+                g = np.array([Xs @ r, Xt @ r])
+                try:
+                    dst = np.linalg.solve(J, g)
+                except np.linalg.LinAlgError:
+                    break
+                st = st - dst
+                if np.abs(dst).max() < 1e-14:
+                    break
+            s, t = st
+            X = (1-s)*(1-t)*A + s*(1-t)*B + (1-s)*t*C + s*t*D
+            return st, float(np.linalg.norm(X - p))
+
+        def lag1d(i, x):
+            if k == 1:
+                return 1.0 - x if i == 0 else x
+            # quadratic on {0, 1/2, 1}
+            if i == 0:
+                return 2 * (x - 0.5) * (x - 1.0)
+            if i == 1:
+                return 4 * x * (1.0 - x)
+            return 2 * x * (x - 0.5)
+
+        done = set()
+        for key, c, f in single:
+            corners = face_corners(c, f)
+            pts = [mesh.vertices[v] for v in corners]
+            center = tuple(np.round(np.mean(pts, axis=0), 12))
+            if center not in vkey:
+                continue  # conforming from this side (or the finer side)
+            # this is the COARSE side of a nonconforming face
+            masters = [int(self.cell_dofs[c, l])
+                       for l in self.face_local_nodes[f]]
+            mpos = self.node_points[masters]
+            mst = []
+            for mp in mpos:
+                st, res = invert(pts, mp)
+                mst.append(np.round(st * k).astype(int))
+            diam = max(np.linalg.norm(pts[0] - pts[3]),
+                       np.linalg.norm(pts[1] - pts[2]))
+            tol = 1e-9 * diam
+            # candidate slaves: nodes of other single faces whose corners
+            # all lie on this patch
+            lo = np.min(pts, axis=0) - tol
+            hi = np.max(pts, axis=0) + tol
+            for key2, c2, f2 in single:
+                if (c2, f2) == (c, f):
+                    continue
+                cor2 = face_corners(c2, f2)
+                cp2 = mesh.vertices[cor2]
+                if ((cp2 < lo) | (cp2 > hi)).any():
+                    continue
+                on = all(invert(pts, mesh.vertices[v])[1] < tol
+                         for v in cor2)
+                if not on:
+                    continue
+                for l in self.face_local_nodes[f2]:
+                    slave = int(self.cell_dofs[c2, l])
+                    if slave in masters or slave in done:
+                        continue
+                    st, res = invert(pts, self.node_points[slave])
+                    if res > tol:
+                        continue
+                    s, t = st
+                    ms, ws = [], []
+                    for mi, (is_, it_) in zip(masters, mst):
+                        w = lag1d(int(is_), s) * lag1d(int(it_), t)
+                        if abs(w) > 1e-12:
+                            ms.append(mi)
+                            ws.append(float(w))
+                    done.add(slave)
+                    self.hanging.append((slave, ms, ws))
+
 
 class SystemSpace:
     """Mixed system of (FESpace, n_components) blocks in one global vector.
@@ -298,7 +393,9 @@ class SystemSpace:
         Returns (idx (n_dofs, K) int, w (n_dofs, K) float, is_hanging(bool)):
         row i reconstructs dof i from masters; identity for unconstrained."""
         n = self.n_dofs
-        K = max_masters
+        need = max((len(m) for (sp, _) in self.blocks
+                    for (_, m, _) in sp.hanging), default=1)
+        K = max(max_masters, need)
         idx = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
         w = np.zeros((n, K))
         w[:, 0] = 1.0

@@ -98,3 +98,54 @@ def test_coarsen_next_to_coarser_neighbor():
     cf = np.asarray(m1.level == m1.level.max())
     m2, _ = m1.coarsen(cf)
     assert m2.n_cells == 4
+
+
+def test_hanging_nodes_3d():
+    """3D hanging-node constraints reproduce polynomial fields exactly
+    (linear for Q1, quadratic for Q2) across a 1-irregular interface."""
+    from openifem_tpu.fe.space import FESpace
+
+    m0 = generators.subdivided_hyper_rectangle(
+        [2, 2, 2], [0, 0, 0], [1.0, 1.0, 1.0])
+    flags = np.zeros(m0.n_cells, dtype=bool)
+    flags[0] = True
+    mesh = m0.refine(flags)
+
+    for degree in (1, 2):
+        sp = FESpace(mesh, degree)
+        assert len(sp.hanging) > 0
+        x = sp.node_points
+        if degree == 1:
+            f = 1.0 + 2 * x[:, 0] - 3 * x[:, 1] + 0.5 * x[:, 2]
+        else:
+            f = (1.0 + 2 * x[:, 0] - 3 * x[:, 1] + 0.5 * x[:, 2]
+                 + x[:, 0] * x[:, 1] - 2 * x[:, 1] * x[:, 2]
+                 + 0.7 * x[:, 0] ** 2 - 1.3 * x[:, 2] ** 2)
+        for slave, masters, w in sp.hanging:
+            val = sum(wi * f[mi] for mi, wi in zip(masters, w))
+            assert abs(val - f[slave]) < 1e-10, (slave, val, f[slave])
+
+
+def test_hanging_nodes_3d_solve():
+    """A solid solve on a locally refined 3D mesh runs and stays finite
+    (previously raised NotImplementedError)."""
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.solid import LinearElasticity
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/solid_gravity_linearelastic/"
+        "solid_gravity_linearelastic.prm")
+    p.end_time = p.time_step
+    m0 = generators.subdivided_hyper_rectangle(
+        [2, 2, 2], [0, 0, 0], [0.5, 0.5, 0.5])
+    flags = np.zeros(m0.n_cells, dtype=bool)
+    flags[0] = True
+    mesh = m0.refine(flags)
+    solid = LinearElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    assert np.isfinite(u).all()
+    # free fall under gravity -10: u_y = -g t^2 / 2 everywhere
+    uy = u.reshape(-1, 3)[:, 1]
+    t = p.time_step
+    assert np.allclose(uy, -10.0 * t * t / 2, rtol=1e-5)
