@@ -456,6 +456,24 @@ class ControlVolumeFSI(MPIFSI):
         self._write_cv_output(out)
         return out
 
+    def output_solid_boundary_vertices(self):
+        """Per-step boundary trace for POD post-processing: one file per
+        step with 'vertex-id  deformed-position  fluid-pressure' lines
+        (reference: source/cv_fsi.cpp:1594-1634)."""
+        import os
+        solid = self.solid
+        os.makedirs("solid_trace", exist_ok=True)
+        moved = np.asarray(solid.moved_vertex_coords())
+        bfv = np.asarray(solid._bface_verts)
+        vids = np.unique(bfv)
+        pn = np.asarray(getattr(solid, "fluid_pressure_nodal",
+                                np.zeros(len(moved))))
+        fname = f"solid_trace/BoundaryTrace-{self.time.get_timestep():06d}"
+        with open(fname, "w") as f:
+            for v in vids:
+                pos = " ".join(f"{x:.10g}" for x in moved[v])
+                f.write(f"{v} {pos} {pn[v]:.10g}\n")
+
     def _solid_face_geo_N(self):
         """Bilinear geometry shape values at solid face quadrature points."""
         if not hasattr(self, "_sfN"):
@@ -518,3 +536,5 @@ class ControlVolumeFSI(MPIFSI):
             self.time.increment()
             if self._cv_bounds is not None:
                 self.control_volume_analysis()
+            if self.output_solid_boundary:
+                self.output_solid_boundary_vertices()

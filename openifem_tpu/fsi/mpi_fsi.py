@@ -161,7 +161,8 @@ class MPIFSI(FSI):
 
     def find_solid_bc(self):
         k = self._mpi_kernels
-        self.solid.fsi_stress_rows = k.solid_bc_rows(
+        (self.solid.fsi_stress_rows, self.solid.fluid_pressure_nodal,
+         self.solid.fluid_velocity_nodal) = k.solid_bc_rows(
             self.solid.current_displacement, self.fluid.present_solution,
             self.fluid.stress_device)
         if self._tm is not None:
@@ -410,7 +411,18 @@ class _MPIKernels:
             sigma = -p_val[:, None, None] * I + tau
             rows = jnp.zeros((solid.space.n_nodes, d, d),
                              dtype=fluid_solution.dtype)
-            return rows.at[bnodes].set(sigma)
+            # fluid pressure / velocity at the boundary vertices (reference
+            # stores them on the solid for CV drag / friction work and the
+            # boundary trace, source/mpi_fsi.cpp:770-781)
+            u = fluid_solution[:fluid.n_u].reshape(-1, d)
+            u_val = interpolate_nodal(u, u_cell_dofs, idx, unit, fdeg, found)
+            p_nodal = jnp.zeros(solid.space.n_nodes,
+                                dtype=fluid_solution.dtype
+                                ).at[bnodes].set(p_val)
+            u_nodal = jnp.zeros((solid.space.n_nodes, d),
+                                dtype=fluid_solution.dtype
+                                ).at[bnodes].set(u_val)
+            return rows.at[bnodes].set(sigma), p_nodal, u_nodal
 
         self.indicator_all_vertices = indicator_all_vertices
         self.fsi_stress_nodal = fsi_stress_nodal

@@ -186,3 +186,32 @@ def test_cv_surface_cutting_exact(tmp_path, monkeypatch):
     # friction work: mu * du_x/dx * u_x integrated (du_x/dx = 1)
     mu = p.viscosity
     assert abs(ins["rate_friction_work"] - mu * (x_in + 1)) < 1e-12
+
+
+def test_cv_solid_boundary_trace(tmp_path, monkeypatch):
+    """output_solid_boundary_vertices writes one trace file per step with
+    deformed vertex positions and interpolated fluid pressure
+    (reference: source/cv_fsi.cpp:1594-1634)."""
+    monkeypatch.chdir(tmp_path)
+    from openifem_tpu.fsi.cv_fsi import ControlVolumeFSI
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    p.end_time = 2e-6
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [20, 10], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [2, 2], [0.0, 0.0], [0.3, 0.3])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.85, 0.2])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = ControlVolumeFSI(fluid, solid, p)
+    fsi.set_control_volume_boundary(0.5, 1.5)
+    fsi.set_output_solid_boundary(True)
+    fsi.run(verbose=False)
+    import os
+    files = sorted(os.listdir("solid_trace"))
+    assert len(files) == 2
+    rows = open(f"solid_trace/{files[0]}").read().strip().split("\n")
+    # 2x2 solid: 8 boundary vertices
+    assert len(rows) == 8
+    assert all(len(r.split()) == 4 for r in rows)
