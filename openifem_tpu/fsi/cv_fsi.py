@@ -162,6 +162,48 @@ class ControlVolumeFSI(MPIFSI):
         self._cut_in = self._cut_plane(x_in, keep="right")
         self._cut_out = self._cut_plane(x_out, keep="left")
 
+        # Bernoulli streamline path: CV boundary cells hugging the glottis
+        # centerline y_top (reference: source/cv_fsi.cpp:341-365, 436-500)
+        self._path_cells = np.zeros(0, dtype=np.int64)
+        self._bernoulli_ends = []
+        if self._centerline_y is not None:
+            cy = self._centerline_y
+            centers = mesh.cell_centers()
+            diam = mesh.cell_diameters()
+            at_bdry = (mesh.boundary_id >= 0).any(axis=1)
+            near = np.abs(centers[:, 1] - cy) < diam
+
+            def bface_len(c):
+                for f in range(2 * mesh.dim):
+                    if mesh.boundary_id[c, f] >= 0:
+                        vs = [int(mesh.cells[c, v])
+                              for v in FACE_VERTICES[mesh.dim][f]]
+                        return float(np.linalg.norm(
+                            mesh.vertices[vs[1]] - mesh.vertices[vs[0]]))
+                return 0.0
+
+            sel = self._cv_cells[(at_bdry & near)[self._cv_cells]]
+            self._path_cells = sel
+            self._path_area_fraction = np.array(
+                [bface_len(c) / _polygon_area(mesh.vertices[mesh.cells[c]])
+                 for c in sel])
+            # partially-cut start/end cells at the CV planes
+            for cut, plane, kind in ((self._cut_in, x_in, "contraction"),
+                                     (self._cut_out, x_out, "jet")):
+                if cut is None:
+                    continue
+                for i, c in enumerate(cut["cells"]):
+                    if not (at_bdry[c] and near[c]):
+                        continue
+                    vx = mesh.vertices[mesh.cells[c], 0]
+                    left, right = vx.min(), vx.max()
+                    frac = (right - plane) / (right - left) \
+                        if kind == "contraction" else \
+                        (plane - left) / (right - left)
+                    af = bface_len(c) / _polygon_area(
+                        mesh.vertices[mesh.cells[c]])
+                    self._bernoulli_ends.append((int(c), frac * af, kind))
+
         if self._probe_point is not None:
             self._probe_jnp = jnp.asarray(self._probe_point[None, :],
                                           dtype=real_dtype())
@@ -450,11 +492,94 @@ class ControlVolumeFSI(MPIFSI):
                                              dtype=jnp.int32),
                 idx, unit, params.fluid_pressure_degree, found)[0])
 
+        if self._centerline_y is not None:
+            self._bernoulli_terms(out, sol, prev, moved)
+
         out.pop("_solid_tip_x", None)
         out["time"] = self.time.current()
         self.cv_history.append(out)
         self._write_cv_output(out)
         return out
+
+    def _bernoulli_terms(self, out, sol, prev, moved):
+        """Bernoulli head decomposition along the glottis streamline path
+        (reference: source/cv_fsi.cpp:1245-1590; 'half space' assumption).
+        Contraction/jet regions split at the solid tip; per-cell volume
+        integrals are converted to line averages by the boundary-face /
+        cell-area fraction and the gap_tolerance = 0.0045 is the
+        reference's hard-coded value."""
+        fluid, params = self.fluid, self.params
+        rho, mu = params.fluid_rho, params.viscosity
+        dt = self.time.get_delta_t()
+        cy = self._centerline_y
+        gap_tol = 0.0045
+        from ..solvers.fluid.supg import ATM
+
+        i_high = int(np.argmin(np.abs(moved[:, 1] - cy)))
+        highest_y = moved[i_high, 1]
+        high = moved[np.abs(moved[:, 1] - highest_y) < gap_tol]
+        if abs(highest_y - cy) < gap_tol:
+            ce_x = float(high[:, 0].min())
+            js_x = float(high[:, 0].max())
+        else:
+            ce_x = js_x = float(moved[i_high, 0])
+        out["contraction_end_x"] = ce_x
+        out["jet_start_x"] = js_x
+        keys = ["rate_convection", "rate_pressure_grad", "acceleration",
+                "rate_density", "rate_friction"]
+        for k in keys:
+            out[f"{k}_contraction"] = 0.0
+            out[f"{k}_jet"] = 0.0
+        if len(self._path_cells) == 0 and not self._bernoulli_ends:
+            return
+
+        mesh = fluid.mesh
+
+        def cell_heads(cells):
+            """Per-cell integrals of the five head terms (n_cells,)."""
+            if len(cells) == 0:
+                return np.zeros((5, 0))
+            F = self._volume_fields(cells, sol, prev)
+            uq, up, pq, gpq, JxW = (F["uq"], F["uq_prev"], F["pq"],
+                                    F["gpq"], F["JxW"])
+            eddy = F["eddy"]
+            d = fluid.dim
+            cu = fluid.u_space.cell_dofs[cells]
+            g = fluid.cv_u.grad[cells]
+            # gradient of the PREVIOUS velocity (cv_fsi.cpp:1460-1461)
+            upn = np.asarray(prev[:fluid.n_u]).reshape(-1, d)
+            Gp = np.einsum("cqlx,cla->cqax", g, upn[cu])
+            # nodal-stress gradients
+            sl = np.asarray(fluid.stress_device)[cu]
+            gS = np.einsum("cqlx,clab->cqabx", g, sl)
+            conv = np.einsum("cqa,cqa->cq", uq, Gp[:, :, 0, :])
+            acc = (uq[..., 0] - up[..., 0]) / dt
+            phead = gpq[..., 0] / rho
+            dens = pq / rho / (ATM + 2 * pq) * gpq[..., 0]
+            scale = (mu + eddy) / (rho * mu)
+            fric = (sum(gS[:, :, 0, dd, dd] for dd in range(d))
+                    - gS[:, :, 1, 1, 0]) * scale
+            if d == 3:
+                fric = fric - gS[:, :, 2, 2, 0] * scale
+            return np.stack([
+                (conv * JxW).sum(1), (phead * JxW).sum(1),
+                (acc * JxW).sum(1), (dens * JxW).sum(1),
+                (fric * JxW).sum(1)])
+
+        cells = self._path_cells
+        if len(cells):
+            vx = mesh.vertices[mesh.cells[cells], 0]
+            in_c = (vx <= ce_x).all(axis=1)
+            in_j = (vx > js_x).all(axis=1)
+            heads = cell_heads(cells) * self._path_area_fraction[None, :]
+            for region, mask in (("contraction", in_c), ("jet", in_j)):
+                for k, key in enumerate(keys):
+                    out[f"{key}_{region}"] += float(heads[k][mask].sum())
+        for c, weight, kind in self._bernoulli_ends:
+            h = cell_heads(np.array([c]))[:, 0] * weight
+            region = "contraction" if kind == "contraction" else "jet"
+            for k, key in enumerate(keys):
+                out[f"{key}_{region}"] += float(h[k])
 
     def output_solid_boundary_vertices(self):
         """Per-step boundary trace for POD post-processing: one file per

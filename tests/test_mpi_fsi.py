@@ -215,3 +215,35 @@ def test_cv_solid_boundary_trace(tmp_path, monkeypatch):
     # 2x2 solid: 8 boundary vertices
     assert len(rows) == 8
     assert all(len(r.split()) == 4 for r in rows)
+
+
+def test_cv_bernoulli_terms(tmp_path, monkeypatch):
+    """Bernoulli contraction/jet decomposition along the glottis centerline
+    (reference: source/cv_fsi.cpp:1245-1590)."""
+    monkeypatch.chdir(tmp_path)
+    from openifem_tpu.fsi.cv_fsi import ControlVolumeFSI
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    p.end_time = 2e-6
+    p.fluid_dirichlet_bcs = {0: (1, [1.0]), 2: (3, [0.0, 0.0])}
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [20, 10], [0.0, 0.0], [2.0, 1.0])
+    # half-space vocal-fold-like geometry: solid rises toward y_top = 1
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [3, 4], [0.0, 0.0], [0.3, 0.8])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.85, 0.0])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = ControlVolumeFSI(fluid, solid, p)
+    fsi.set_control_volume_boundary([0.55, 1.45, 0.0, 1.0])
+    fsi.run(verbose=False)
+    last = fsi.cv_history[-1]
+    # the streamline path follows the top wall; the (slightly deformed)
+    # solid tip splits it
+    assert 0.80 <= last["contraction_end_x"] <= 1.2
+    assert last["contraction_end_x"] <= last["jet_start_x"] <= 1.2
+    for k in ("rate_convection", "rate_pressure_grad", "acceleration",
+              "rate_density", "rate_friction"):
+        assert np.isfinite(last[f"{k}_contraction"])
+        assert np.isfinite(last[f"{k}_jet"])
+    assert len(fsi._path_cells) > 0
