@@ -274,6 +274,15 @@ class FluidSolverBase:
         for i in range(d):
             for j in range(i, d):
                 point_data[f"tau_{i}{j}"] = tau[:n_vert, i, j]
+        # FSI body force and eddy viscosity, when active
+        # (reference writes fsi_force / eddy_viscosity fields,
+        # source/mpi_fluid_solver.cpp:500-556)
+        fsi_acc = getattr(self, "fsi_acc_nodal", None)
+        if fsi_acc is not None and np.any(np.asarray(fsi_acc)):
+            point_data["fsi_force"] = np.asarray(fsi_acc)[:n_vert]
+        eddy = getattr(self, "eddy_viscosity_nodal", None)
+        if eddy is not None:
+            point_data["eddy_viscosity"] = np.asarray(eddy)[:n_vert]
         write_vtu(f"{prefix}-{step:06d}.vtu", self.mesh,
                   point_data=point_data,
                   cell_data={"indicator": np.asarray(self.indicator)})

@@ -198,3 +198,37 @@ def test_fluid_body_force():
     pr = f.pressure_part()
     pdiff = float(pr.max() - pr.min())
     assert abs(pdiff - 1e3) / 1e3 < 1e-3
+
+
+@pytest.mark.slow
+def test_acoustic_pml_absorption_serial():
+    """Serial-variant SCnsIM with PML (reference: tests/acoustic_pml,
+    residual |vmax| < 5e-2; same prm as the MPI variant but the serial test
+    functor again uses the guard-free increment)."""
+    from openifem_tpu.solvers.fluid.supg import SerialSCnsIM
+    p = AllParameters.from_file(f"{REF}/acoustic_pml/acoustic_pml.prm")
+    L, H = 1.4, 0.4
+    PML, SMAX = 1.2, 340000.0
+
+    def sigma(points):
+        x = points[:, 0]
+        return np.where(x > L - PML, SMAX * ((x + PML - L) / PML) ** 4, 0.0)
+
+    def pulse(points, component, t):
+        out = np.zeros(len(points))
+
+        def tv(tt):
+            return 6.0 * np.exp(-0.5 * ((tt - 0.5e-6) / 0.15e-6) ** 2)
+
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            out[m] = tv(t) - tv(t - p.time_step)
+        return out
+
+    mesh = generators.subdivided_hyper_rectangle([7, 2], [0, 0], [L, H])
+    f = SerialSCnsIM(mesh, p)
+    f.add_hard_coded_boundary_condition(0, pulse)
+    f.set_sigma_pml_field(sigma)
+    f.run(verbose=False)
+    vmax = float(np.abs(f.velocity_part()).max())
+    assert vmax < 5e-2
