@@ -196,3 +196,10 @@ def test_sphere_mesh():
     bn = sp.boundary_nodes([0])
     r = np.linalg.norm(sp.node_points[bn], axis=1)
     assert np.allclose(r, 0.25, atol=1e-12)
+
+
+def test_pallas_element_matvec_interpret():
+    """The fused Pallas element-matvec matches the XLA path (interpret
+    mode; see la/pallas_ops.py for the Mosaic lowering status)."""
+    from openifem_tpu.la.pallas_ops import _self_test
+    assert _self_test() < 1e-10
