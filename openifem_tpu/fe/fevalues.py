@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..mesh.mesh import FACE_VERTICES, Mesh
+from ..mesh.mesh import Mesh
 from .shapes import QkShapes, gauss_quadrature
 from .space import FESpace
 

@@ -15,7 +15,6 @@ import numpy as np
 
 from ..config import real_dtype
 from ..fsi.interp import invert_bilinear
-from ..mesh.mesh import FACE_VERTICES
 from .fevalues import face_values
 from .shapes import QkShapes
 

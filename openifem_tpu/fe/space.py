@@ -10,7 +10,7 @@ constraint projection operators in la/constraints.py.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

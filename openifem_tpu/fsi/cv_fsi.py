@@ -28,8 +28,6 @@ vertex dump.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

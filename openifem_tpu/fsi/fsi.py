@@ -12,8 +12,6 @@ reference's per-point cell walks."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

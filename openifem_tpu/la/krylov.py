@@ -12,7 +12,6 @@ inner products are batched matmuls — MXU-friendly, unlike modified GS.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

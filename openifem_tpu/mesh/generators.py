@@ -8,7 +8,7 @@ deal.II: face ids 0..2*dim-1 ordered [-x,+x,-y,+y,-z,+z].
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Conventions follow deal.II (so reference test geometry translates 1:1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

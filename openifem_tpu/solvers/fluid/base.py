@@ -7,7 +7,7 @@ renumbering becomes two index ranges of one flat vector.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

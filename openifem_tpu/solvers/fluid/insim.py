@@ -19,8 +19,6 @@ jitted Newton-iteration kernel.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import real_dtype
-from ...la.krylov import cg, fgmres
+from ...la.krylov import fgmres
 from ...la.operators import (element_diag, element_matvec,
                              element_matvec_rect, scatter_add)
 from .base import FluidSolverBase

@@ -11,7 +11,6 @@ with gamma = 0.5 + damping, beta = gamma/2
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

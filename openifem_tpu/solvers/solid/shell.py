@@ -20,7 +20,7 @@ include/shell_solid_solver.h:91-99).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ import numpy as np
 
 from ...config import real_dtype
 from ...fe.fevalues import cell_values
-from ...fe.shapes import gauss_quadrature
 from ...fe.space import FESpace
 from ...la.constraints import Constraints
 from ...la.krylov import cg
