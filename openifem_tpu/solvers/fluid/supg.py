@@ -324,15 +324,23 @@ class SUPGFluidSolver(FluidSolverBase):
     def run(self, verbose: bool = True):
         """reference: source/mpi_supg_solver.cpp:427-486 (time-dependent
         hard-coded BCs advance their own clock and reapply nonzero
-        constraints every step)."""
+        constraints every step; an attached turbulence model steps before
+        the fluid, :458-468)."""
         if not self._setup_done:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[0])
             if self.hard_coded_bcs:
                 self.bc_time += self.time.get_delta_t()
             self.setup()
+        tm = getattr(self, "turbulence_model", None)
+        if tm is not None and not hasattr(tm, "space"):
+            tm.setup()
+        if tm is not None:
+            tm.run_one_step(True)
         self.run_one_step(True, verbose=verbose)
         while self.time.end() - self.time.current() > 1e-12:
+            if tm is not None:
+                tm.run_one_step(False)
             if self.hard_coded_bcs:
                 self.bc_time += self.time.get_delta_t()
                 self._make_constraints()

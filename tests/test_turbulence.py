@@ -198,3 +198,18 @@ def test_sa_fsi_wall_function_smoke():
     assert np.isfinite(np.asarray(sa.eddy_viscosity_nodal)).all()
     # the immersed solid produced indicator rows in the SA constraints
     assert sa._accum_mask.any()
+
+
+def test_sa_attached_run_loop():
+    """SUPGFluidSolver.run drives an attached SA model each step
+    (reference: source/mpi_supg_solver.cpp:458-468)."""
+    p, mesh = _channel_setup()
+    p.end_time = 2 * p.time_step
+    fluid = SCnsIM(mesh, p)
+    sa = make_turbulence_model("Spalart-Allmaras", fluid)
+    fluid.run(verbose=False)
+    nu = np.asarray(sa.present_solution)
+    assert np.isfinite(nu).all()
+    mut = np.asarray(sa.eddy_viscosity_nodal)
+    assert np.isfinite(mut).all() and mut.max() >= 0
+    assert np.isfinite(fluid.velocity_part()).all()
