@@ -266,24 +266,32 @@ class MPIFSI(FSI):
                   f"{self.fluid.n_dofs}], solid cells/dofs "
                   f"[{self.solid.mesh.n_cells}, {self.solid.n_dofs}]")
 
+        from ..utils.timer import Timer
+        self.timer = getattr(self, "timer", None) or Timer("MPIFSI")
         first_step = True
         while self.time.end() - self.time.current() > 1e-12:
-            self.find_solid_bc()
-            if self.penetration_criterion is not None:
-                self.apply_contact_model(first_step)
-            else:
-                self.solid.run_one_step(first_step)
-            self.update_solid_box_and_indicator()
+            with self.timer.scope("Find solid BC"):
+                self.find_solid_bc()
+            with self.timer.scope("Run solid solver"):
+                if self.penetration_criterion is not None:
+                    self.apply_contact_model(first_step)
+                else:
+                    self.solid.run_one_step(first_step)
+            with self.timer.scope("Update indicator"):
+                self.update_solid_box_and_indicator()
             if self._tm is not None:
                 # per-step SA Dirichlet rows from last step's wall distances
                 # (reference: source/mpi_fsi.cpp:1199-1203)
                 self._tm.update_boundary_condition(first_step)
-            zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
+            with self.timer.scope("Find fluid BC"):
+                zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
             if self._tm is not None:
-                self._tm.run_one_step(True)
-            self.fluid.run_one_step(True, verbose=verbose,
-                                    zero_cons=zero_ext,
-                                    nonzero_cons=nonzero_ext)
+                with self.timer.scope("Run turbulence model"):
+                    self._tm.run_one_step(True)
+            with self.timer.scope("Run fluid solver"):
+                self.fluid.run_one_step(True, verbose=verbose,
+                                        zero_cons=zero_ext,
+                                        nonzero_cons=nonzero_ext)
             first_step = False
             self.time.increment()
 
