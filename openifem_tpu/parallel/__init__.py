@@ -1,5 +1,5 @@
 from .shard import (make_cell_mesh, shard_fluid_solver, shard_solid_solver,
-                    sharded_element_cg)
+                    sharded_element_cg, sharded_insim_newton)
 
 __all__ = ["shard_fluid_solver", "shard_solid_solver",
-           "sharded_element_cg", "make_cell_mesh"]
+           "sharded_element_cg", "sharded_insim_newton", "make_cell_mesh"]

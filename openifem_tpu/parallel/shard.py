@@ -176,3 +176,158 @@ def shard_solid_solver(solver, mesh: Mesh, axis: str = "cells"):
         solver._solve_M = sharded_element_cg(
             solver.M_loc, solver.cell_dofs, solver.constraints, mesh, axis)
     return solver
+
+
+def sharded_insim_newton(solver, mesh: Mesh, axis: str = "cells"):
+    """Fully dof-range-sharded Newton iteration for the InsIM fluid solver.
+
+    The assembled element blocks are sharded along the cell axis and ALL
+    Krylov dof vectors — the coupled [u | p] vector and the preconditioner's
+    u/p block vectors — are range-sharded with a per-block padded layout
+    ([u .. pad | p .. pad], each block a multiple of the device count).
+    The original InsIM block-Schur preconditioner is reused verbatim on a
+    padded proxy, so XLA partitions the complete Newton solve SPMD: local
+    element work, all-gather halos on the gathered dof vectors,
+    reduce-scatter behind the scatter-adds and psum dot products — the
+    TPU-native equivalent of the reference's fully distributed
+    PETSc/MUMPS solve (source/mpi_insim.cpp:364-395).
+
+    Returns a jitted fn(eval_pt, present, indicator, fsi_acc, fsi_stress,
+    fsi_acc_nodal) -> (du, res_norm, iters, residual) on the ORIGINAL
+    (unpadded) dof layout, solving the same condensed system to the same
+    tolerance as solver._newton_iter."""
+    import types
+
+    import jax.numpy as jnp
+
+    from ..config import real_dtype
+    from ..la.constraints import Constraints
+    from ..la.krylov import fgmres
+    from ..la.operators import element_matvec
+
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def pad(n):
+        return -(-n // n_dev) * n_dev
+
+    n_u, n_p = solver.n_u, solver.n_p
+    n_u_pad, n_p_pad = pad(n_u), pad(n_p)
+    n_pad = n_u_pad + n_p_pad
+    shift = n_u_pad - n_u
+    dof_sh = NamedSharding(mesh, P(axis))
+    cell_sh = NamedSharding(mesh, P(axis))
+
+    # ---- padded full-vector zero constraints -------------------------
+    zc = solver.zero_constraints
+    K = zc.hang_idx.shape[1]
+
+    def ins_vec(vec, fill):
+        v = np.asarray(vec)
+        return np.concatenate([
+            v[:n_u], np.full(n_u_pad - n_u, fill, dtype=v.dtype),
+            v[n_u:], np.full(n_p_pad - n_p, fill, dtype=v.dtype)])
+
+    hidx = np.asarray(zc.hang_idx)
+    hidx = np.where(hidx >= n_u, hidx + shift, hidx)
+    pad_u_rows = np.tile(np.arange(n_u, n_u_pad, dtype=hidx.dtype)[:, None],
+                         (1, K))
+    pad_p_rows = np.tile(np.arange(n_u_pad + n_p, n_pad,
+                                   dtype=hidx.dtype)[:, None], (1, K))
+    new_hidx = np.concatenate([hidx[:n_u], pad_u_rows, hidx[n_u:],
+                               pad_p_rows])
+    hw = np.asarray(zc.hang_w)
+    pad_w = np.zeros((1, K))
+    pad_w[0, 0] = 1.0
+    new_hw = np.concatenate([hw[:n_u],
+                             np.tile(pad_w, (n_u_pad - n_u, 1)),
+                             hw[n_u:],
+                             np.tile(pad_w, (n_p_pad - n_p, 1))])
+    cons_pad = Constraints(
+        n_pad, new_hidx, new_hw,
+        ins_vec(zc.hanging, False),
+        ins_vec(zc.dirichlet, True),
+        ins_vec(zc.dirichlet_values, 0.0))
+    ucons_pad = _pad_constraints(solver._u_cons_of(zc), n_u_pad)
+    pcons_pad = _pad_constraints(solver.p_constraints, n_p_pad)
+
+    # ---- padded dof maps + preconditioner element data ----------------
+    cd = np.asarray(solver.cell_dofs)
+    cd = np.where(cd >= n_u, cd + shift, cd)
+    n_c, nl = cd.shape
+    n_c_pad = -(-n_c // n_dev) * n_dev
+    cpad = n_c_pad - n_c
+    if cpad:
+        cd = np.concatenate([cd, np.full((cpad, nl), n_pad - 1,
+                                         dtype=cd.dtype)])
+    cd_pad = jax.device_put(jnp.asarray(cd, dtype=jnp.int32), cell_sh)
+
+    def pad_cells(arr, fill_idx=None):
+        a = np.asarray(arr)
+        if cpad:
+            padv = (np.zeros((cpad,) + a.shape[1:], dtype=a.dtype)
+                    if fill_idx is None else
+                    np.full((cpad,) + a.shape[1:], fill_idx, dtype=a.dtype))
+            a = np.concatenate([a, padv])
+        return jax.device_put(jnp.asarray(a), cell_sh)
+
+    cdu_pad = pad_cells(solver.cell_dofs_u, fill_idx=n_u_pad - 1)
+    cdp_pad = pad_cells(solver.cell_dofs_p, fill_idx=n_p_pad - 1)
+    mp_loc_pad = pad_cells(solver.Mp_loc)
+
+    def pad_diag(d, n_new):
+        v = np.ones(n_new, dtype=np.asarray(d).dtype)
+        v[:len(np.asarray(d))] = np.asarray(d)
+        return jax.device_put(jnp.asarray(v), dof_sh)
+
+    ps = types.SimpleNamespace(
+        Mp_diag=pad_diag(solver.Mp_diag, n_p_pad),
+        Mp_loc=mp_loc_pad,
+        Mu_diag=pad_diag(solver.Mu_diag, n_u_pad),
+        a_block_jacobi=False,
+        a_inner_restart=solver.a_inner_restart,
+        a_inner_restarts=solver.a_inner_restarts,
+        a_inner_rtol=solver.a_inner_rtol,
+        cell_dofs_p=cdp_pad, cell_dofs_u=cdu_pad,
+        dim=solver.dim,
+        mixed_precision_precond=solver.mixed_precision_precond,
+        mp_cg_maxiter=solver.mp_cg_maxiter,
+        mp_sm_rtol=solver.mp_sm_rtol,
+        n_p=n_p_pad, n_u=n_u_pad, nu_loc=solver.nu_loc,
+        params=solver.params,
+        schur_cg_maxiter=solver.schur_cg_maxiter,
+        time=solver.time)
+
+    make_precond = type(solver)._make_preconditioner
+    zeros_cells = jnp.zeros((cpad, nl, nl), dtype=real_dtype()) if cpad \
+        else None
+
+    def newton(eval_pt, present, indicator, fsi_acc, fsi_stress,
+               fsi_acc_nodal):
+        A_loc, rhs = solver._assemble(eval_pt, present, indicator, fsi_acc,
+                                      fsi_stress, fsi_acc_nodal)
+        if cpad:
+            A_loc = jnp.concatenate([A_loc, zeros_cells.astype(A_loc.dtype)])
+        A_loc = jax.lax.with_sharding_constraint(A_loc, cell_sh)
+        b = solver.zero_constraints.condense_rhs(rhs)
+        b_pad = jnp.zeros(n_pad, dtype=b.dtype)
+        b_pad = b_pad.at[:n_u].set(b[:n_u])
+        b_pad = b_pad.at[n_u_pad:n_u_pad + n_p].set(b[n_u:])
+        b_pad = jax.lax.with_sharding_constraint(b_pad, dof_sh)
+        res_norm = jnp.linalg.norm(b_pad)
+
+        def apply_A(x):
+            y = element_matvec(A_loc, cd_pad, n_pad, x)
+            return jax.lax.with_sharding_constraint(y, dof_sh)
+
+        op = cons_pad.wrap_operator(apply_A)
+        precond = make_precond(ps, A_loc, ucons_pad, pcons_pad)
+        atol = jnp.maximum(1e-8 * res_norm, 1e-10)
+        res = fgmres(op, b_pad, M=precond, atol=atol,
+                     restart=solver.outer_restart,
+                     max_restarts=solver.outer_max_restarts)
+        du = jnp.concatenate([res.x[:n_u],
+                              res.x[n_u_pad:n_u_pad + n_p]])
+        du = solver.zero_constraints.distribute(du)
+        return du, res_norm, res.iters, res.residual
+
+    return jax.jit(newton)

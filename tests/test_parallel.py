@@ -75,3 +75,45 @@ def test_dof_sharded_cg_matches_unsharded():
     u_sh = make(True)
     # n_dofs = 48 (not divisible by 8) and n_cells = 15: both get padded
     assert np.abs(u_sh - u_ref).max() < 1e-10 * max(1.0, np.abs(u_ref).max())
+
+
+def test_dof_sharded_insim_newton_matches_unsharded():
+    """The fully dof-range-sharded InsIM Newton iteration (padded [u|p]
+    blocks, original block-Schur preconditioner on a padded proxy) solves
+    the same condensed system as the unsharded path on the 8-device mesh."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_fluid_solver
+    from openifem_tpu.parallel.shard import sharded_insim_newton
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+    mesh = generators.hyper_cube(0.0, 1.0, dim=2).refine_global(3)
+    solver = InsIM(mesh, p)
+    solver.setup()
+    solver._setup_done = True
+    # n_u = 578, n_p = 81, n_cells = 64: u/p blocks need padding on 8 devs
+    assert solver.n_u % 8 != 0 and solver.n_p % 8 != 0
+
+    eval_pt = solver.nonzero_constraints.apply_increment(
+        solver.present_solution)
+    args = (eval_pt, solver.present_solution, solver.indicator,
+            solver.fsi_acceleration, solver.fsi_stress_cell,
+            solver.fsi_acc_nodal)
+    du_ref, rn_ref, _, _ = solver._newton_iter(
+        *args, solver.zero_constraints, solver.u_constraints,
+        solver.p_constraints)
+
+    dmesh = make_cell_mesh()
+    shard_fluid_solver(solver, dmesh)
+    newton = sharded_insim_newton(solver, dmesh)
+    du_sh, rn_sh, iters, resid = newton(*args)
+
+    assert abs(float(rn_sh) - float(rn_ref)) < 1e-10 * max(1.0,
+                                                           float(rn_ref))
+    scale = max(1.0, float(np.abs(du_ref).max()))
+    # both solve to atol 1e-8*|b|; allow the combined solver slack
+    assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-5 * \
+        scale
+    assert np.isfinite(float(resid))
