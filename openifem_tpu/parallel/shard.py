@@ -178,7 +178,8 @@ def shard_solid_solver(solver, mesh: Mesh, axis: str = "cells"):
     return solver
 
 
-def sharded_insim_newton(solver, mesh: Mesh, axis: str = "cells"):
+def _sharded_insim_newton_impl(solver, mesh: Mesh,
+                               axis: str = "cells"):
     """Fully dof-range-sharded Newton iteration for the InsIM fluid solver.
 
     The assembled element blocks are sharded along the cell axis and ALL
@@ -330,4 +331,53 @@ def sharded_insim_newton(solver, mesh: Mesh, axis: str = "cells"):
         du = solver.zero_constraints.distribute(du)
         return du, res_norm, res.iters, res.residual
 
-    return jax.jit(newton)
+    return newton
+
+
+def sharded_insim_newton(solver, mesh: Mesh, axis: str = "cells"):
+    """Jitted single Newton iteration; see _sharded_insim_newton_impl."""
+    return jax.jit(_sharded_insim_newton_impl(solver, mesh, axis))
+
+
+def make_sharded_stepper(solver, mesh: Mesh, axis: str = "cells"):
+    """Fully on-device AND fully sharded time stepping for InsIM: the
+    lax.fori_loop over steps with the Newton lax.while_loop, where every
+    Krylov vector is dof-range-sharded (see _sharded_insim_newton_impl).
+    This is the multi-chip production stepping path — one dispatch per
+    timed window, SPMD across the device mesh.
+
+    Returns fn(present, n_steps) -> present (unpadded layout)."""
+    import jax.lax as lax
+
+    newton = _sharded_insim_newton_impl(solver, mesh, axis)
+    params = solver.params
+    tol = params.fluid_tolerance
+    max_it = params.fluid_max_iterations
+
+    def newton_once(eval_pt, present):
+        du, rn, _, _ = newton(eval_pt, present, solver.indicator,
+                              solver.fsi_acceleration,
+                              solver.fsi_stress_cell, solver.fsi_acc_nodal)
+        return eval_pt + du, rn
+
+    def one_step(present):
+        eval_pt, res0 = newton_once(present, present)
+
+        def cond(s):
+            _, it, res = s
+            return (res / res0 > tol) & (res > 1e-11) & (it < max_it)
+
+        def body(s):
+            ev, it, _ = s
+            ev_new, rn = newton_once(ev, present)
+            return (ev_new, it + 1, rn)
+
+        eval_pt, _, _ = lax.while_loop(cond, body, (eval_pt, 1, res0))
+        return eval_pt
+
+    @jax.jit
+    def run_n(present, n_steps):
+        return lax.fori_loop(0, n_steps, lambda i, pr: one_step(pr),
+                             present)
+
+    return run_n

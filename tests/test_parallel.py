@@ -117,3 +117,37 @@ def test_dof_sharded_insim_newton_matches_unsharded():
     assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-5 * \
         scale
     assert np.isfinite(float(resid))
+
+
+def test_sharded_stepper_matches_unsharded():
+    """The fully sharded on-device stepper reproduces the unsharded
+    stepper over multiple time steps on the 8-device mesh."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_fluid_solver
+    from openifem_tpu.parallel.shard import make_sharded_stepper
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+
+    def build():
+        mesh = generators.hyper_cube(0.0, 1.0, dim=2).refine_global(3)
+        s = InsIM(mesh, p)
+        s.setup()
+        s._setup_done = True
+        s.run_one_step(True, verbose=False)  # apply BCs once
+        return s
+
+    s_ref = build()
+    stepper = s_ref.make_on_device_stepper()
+    u_ref = np.asarray(stepper(s_ref.present_solution, 3))
+
+    s_sh = build()
+    dmesh = make_cell_mesh()
+    shard_fluid_solver(s_sh, dmesh)
+    sh_stepper = make_sharded_stepper(s_sh, dmesh)
+    u_sh = np.asarray(sh_stepper(s_sh.present_solution, 3))
+
+    scale = max(1.0, np.abs(u_ref).max())
+    assert np.abs(u_sh - u_ref).max() < 1e-5 * scale
