@@ -46,12 +46,17 @@ def shard_fluid_solver(solver, mesh: Mesh, axis: str = "cells"):
     def put_cells(x):
         return jax.device_put(x, cell_sharded)
 
+    n_dev = int(np.prod(mesh.devices.shape))
     for name in ("gu", "JxW", "Nu_cellwise", "cell_dofs", "cell_dofs_u",
                  "cell_dofs_p", "Mp_loc", "A_loc", "Auu", "Aup", "Apu",
                  "gravity_q"):
         if hasattr(solver, name):
             arr = getattr(solver, name)
-            if arr is not None and getattr(arr, "ndim", 0) >= 1:
+            # GSPMD needs the sharded axis to divide evenly; leave
+            # non-divisible cell counts replicated (the padded dof-sharded
+            # paths below pad their own copies)
+            if arr is not None and getattr(arr, "ndim", 0) >= 1 and \
+                    arr.shape[0] % n_dev == 0:
                 setattr(solver, name, put_cells(arr))
 
     # dof vectors stay replicated: the element scatter-add then reduces to
@@ -381,3 +386,122 @@ def make_sharded_stepper(solver, mesh: Mesh, axis: str = "cells"):
                              present)
 
     return run_n
+
+
+def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
+    """Fully dof-range-sharded Newton iteration for the SUPG fluid family
+    (SUPGInsIM / SCnsIM / SerialSCnsIM), mirroring sharded_insim_newton:
+    padded [u|p] block layout, the Washio incomplete-Schur (Tpp)
+    preconditioner reused verbatim on a padded proxy
+    (reference distributed solve: source/mpi_supg_solver.cpp:296-328)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from ..config import real_dtype
+    from ..la.constraints import Constraints
+    from ..la.krylov import fgmres
+    from ..la.operators import element_matvec
+
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def pad(n):
+        return -(-n // n_dev) * n_dev
+
+    n_u, n_p = solver.n_u, solver.n_p
+    n_u_pad, n_p_pad = pad(n_u), pad(n_p)
+    n_pad = n_u_pad + n_p_pad
+    shift = n_u_pad - n_u
+    dof_sh = NamedSharding(mesh, P(axis))
+    cell_sh = NamedSharding(mesh, P(axis))
+
+    zc = solver.zero_constraints
+    K = zc.hang_idx.shape[1]
+
+    def ins_vec(vec, fill):
+        v = np.asarray(vec)
+        return np.concatenate([
+            v[:n_u], np.full(n_u_pad - n_u, fill, dtype=v.dtype),
+            v[n_u:], np.full(n_p_pad - n_p, fill, dtype=v.dtype)])
+
+    hidx = np.asarray(zc.hang_idx)
+    hidx = np.where(hidx >= n_u, hidx + shift, hidx)
+    pad_u_rows = np.tile(np.arange(n_u, n_u_pad, dtype=hidx.dtype)[:, None],
+                         (1, K))
+    pad_p_rows = np.tile(np.arange(n_u_pad + n_p, n_pad,
+                                   dtype=hidx.dtype)[:, None], (1, K))
+    hw = np.asarray(zc.hang_w)
+    pad_w = np.zeros((1, K))
+    pad_w[0, 0] = 1.0
+    cons_pad = Constraints(
+        n_pad,
+        np.concatenate([hidx[:n_u], pad_u_rows, hidx[n_u:], pad_p_rows]),
+        np.concatenate([hw[:n_u], np.tile(pad_w, (n_u_pad - n_u, 1)),
+                        hw[n_u:], np.tile(pad_w, (n_p_pad - n_p, 1))]),
+        ins_vec(zc.hanging, False),
+        ins_vec(zc.dirichlet, True),
+        ins_vec(zc.dirichlet_values, 0.0))
+    ucons_pad = _pad_constraints(solver._u_cons_of(zc), n_u_pad)
+    pcons_pad = _pad_constraints(solver.p_constraints, n_p_pad)
+
+    cd = np.asarray(solver.cell_dofs)
+    cd = np.where(cd >= n_u, cd + shift, cd)
+    n_c, nl = cd.shape
+    n_c_pad = -(-n_c // n_dev) * n_dev
+    cpad = n_c_pad - n_c
+    if cpad:
+        cd = np.concatenate([cd, np.full((cpad, nl), n_pad - 1,
+                                         dtype=cd.dtype)])
+    cd_pad = jax.device_put(jnp.asarray(cd, dtype=jnp.int32), cell_sh)
+
+    def pad_cells(arr, fill_idx=None):
+        a = np.asarray(arr)
+        if cpad:
+            padv = (np.zeros((cpad,) + a.shape[1:], dtype=a.dtype)
+                    if fill_idx is None else
+                    np.full((cpad,) + a.shape[1:], fill_idx, dtype=a.dtype))
+            a = np.concatenate([a, padv])
+        return jax.device_put(jnp.asarray(a), cell_sh)
+
+    ps = types.SimpleNamespace(
+        cell_dofs_p=pad_cells(solver.cell_dofs_p, fill_idx=n_p_pad - 1),
+        cell_dofs_u=pad_cells(solver.cell_dofs_u, fill_idx=n_u_pad - 1),
+        mixed_precision_precond=solver.mixed_precision_precond,
+        n_p=n_p_pad, n_u=n_u_pad, nu_loc=solver.nu_loc,
+        tpp_max_restarts=solver.tpp_max_restarts,
+        tpp_restart=solver.tpp_restart)
+    make_precond = type(solver)._make_preconditioner
+    zeros_cells = jnp.zeros((cpad, nl, nl), dtype=real_dtype()) if cpad \
+        else None
+
+    def newton(eval_pt, present, indicator, fsi_acc_nodal,
+               fsi_stress_nodal, stress_nodal, eddy_nu):
+        A_loc, rhs = solver._assemble(eval_pt, present, indicator,
+                                      fsi_acc_nodal, fsi_stress_nodal,
+                                      stress_nodal, eddy_nu)
+        if cpad:
+            A_loc = jnp.concatenate([A_loc, zeros_cells.astype(A_loc.dtype)])
+        A_loc = jax.lax.with_sharding_constraint(A_loc, cell_sh)
+        b = solver.zero_constraints.condense_rhs(rhs)
+        b_pad = jnp.zeros(n_pad, dtype=b.dtype)
+        b_pad = b_pad.at[:n_u].set(b[:n_u])
+        b_pad = b_pad.at[n_u_pad:n_u_pad + n_p].set(b[n_u:])
+        b_pad = jax.lax.with_sharding_constraint(b_pad, dof_sh)
+        res_norm = jnp.linalg.norm(b_pad)
+
+        def apply_A(x):
+            y = element_matvec(A_loc, cd_pad, n_pad, x)
+            return jax.lax.with_sharding_constraint(y, dof_sh)
+
+        op = cons_pad.wrap_operator(apply_A)
+        precond = make_precond(ps, A_loc, ucons_pad, pcons_pad)
+        res = fgmres(op, b_pad, M=precond,
+                     atol=solver.outer_rtol * res_norm,
+                     restart=solver.outer_restart,
+                     max_restarts=solver.outer_max_restarts)
+        du = jnp.concatenate([res.x[:n_u],
+                              res.x[n_u_pad:n_u_pad + n_p]])
+        du = solver.zero_constraints.distribute(du)
+        return du, res_norm, res.iters, res.residual
+
+    return jax.jit(newton)

@@ -151,3 +151,46 @@ def test_sharded_stepper_matches_unsharded():
 
     scale = max(1.0, np.abs(u_ref).max())
     assert np.abs(u_sh - u_ref).max() < 1e-5 * scale
+
+
+def test_dof_sharded_supg_newton_matches_unsharded():
+    """The dof-range-sharded SUPG (SCnsIM) Newton iteration matches the
+    unsharded path on the 8-device mesh."""
+    import jax.numpy as jnp
+    from openifem_tpu.config import real_dtype
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_fluid_solver
+    from openifem_tpu.parallel.shard import sharded_supg_newton
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_plane_wall_driven_mpi_insim_supg/"
+        "fluid_plane_wall_driven_mpi_insim_supg.prm")
+    mesh = generators.subdivided_hyper_rectangle(
+        [10, 6], [0.0, 0.0], [2.0, 0.4])
+    solver = SCnsIM(mesh, p)
+    solver.setup()
+    solver._setup_done = True
+    assert solver.n_u % 8 != 0  # padding exercised
+
+    eval_pt = solver.nonzero_constraints.apply_increment(
+        solver.present_solution)
+    eddy = jnp.zeros(solver.u_space.n_nodes, dtype=real_dtype())
+    args = (eval_pt, solver.present_solution, solver.indicator,
+            solver.fsi_acc_nodal, solver.fsi_stress_nodal,
+            solver.stress_device, eddy)
+    du_ref, rn_ref, _, _ = solver._newton_iter(
+        *args, solver.zero_constraints, solver.u_constraints,
+        solver.p_constraints)
+
+    dmesh = make_cell_mesh()
+    shard_fluid_solver(solver, dmesh)
+    newton = sharded_supg_newton(solver, dmesh)
+    du_sh, rn_sh, _, _ = newton(*args)
+
+    assert abs(float(rn_sh) - float(rn_ref)) < 1e-10 * max(1.0,
+                                                           float(rn_ref))
+    scale = max(1.0, float(np.abs(np.asarray(du_ref)).max()))
+    assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-5 * \
+        scale
