@@ -61,12 +61,14 @@ def main():
     stepper = solver.make_on_device_stepper()
     warmup = 2
     timed = 10
-    sol = stepper(solver.present_solution, warmup)
+    sol, _, _ = stepper(solver.present_solution, warmup)
     sol.block_until_ready()
     t0 = time.time()
-    sol = stepper(sol, timed)
+    sol, worst_rel, _ = stepper(sol, timed)
     sol.block_until_ready()
     elapsed = time.time() - t0
+    assert float(worst_rel) < p.fluid_tolerance, \
+        f"non-converged step in timed window: rel_res={float(worst_rel)}"
 
     value = n_dofs * timed / elapsed / 1e6            # MDoF-steps/s
     baseline = n_dofs * 100 / 240.0 / 1e6             # reference: 240 s/100 steps

@@ -32,17 +32,52 @@ def kelly_estimate(space, solution, n_components: int = 1,
     # interior conforming face pairs
     fmap = mesh._face_map()
     pairs = [lst for lst in fmap.values() if len(lst) == 2]
-    if not pairs:
-        return np.zeros(mesh.n_cells)
     side_a = [p[0] for p in pairs]
-    side_b = [p[1] for p in pairs]
+    cells_b_list = [p[1][0] for p in pairs]
+
+    # nonconforming (hanging) faces on adapted meshes: integrate the jump
+    # over each FINE subface against the coarse neighbor, as deal.II's
+    # KellyErrorEstimator does — skipping them underestimates the error
+    # exactly where AMR just refined.  A fine subface appears in the face
+    # map with no partner (its key contains mid-edge vertices) but is not
+    # on the boundary; its coarse neighbor is found geometrically.
+    orphans = [lst[0] for lst in fmap.values()
+               if len(lst) == 1 and mesh.boundary_id[lst[0][0],
+                                                     lst[0][1]] < 0]
+    if orphans:
+        from ..mesh.mesh import FACE_VERTICES
+        fv_tab = FACE_VERTICES[dim]
+        centers = mesh.cell_centers()
+        lev = mesh.level
+        orphan_cells = sorted({c for c, _ in orphans})
+        for (c, f) in orphans:
+            fverts = mesh.vertices[mesh.cells[c][list(fv_tab[f])]]
+            x = fverts.mean(axis=0)
+            probe = x + 0.1 * (x - centers[c])
+            for c2 in orphan_cells:
+                if c2 == c or lev[c2] >= lev[c]:
+                    continue
+                v2 = mesh.vertices[mesh.cells[c2]]
+                lo, hi = v2.min(axis=0), v2.max(axis=0)
+                if np.any(probe < lo - 1e-12) or np.any(probe > hi + 1e-12):
+                    continue
+                unit = np.asarray(invert_bilinear(
+                    jnp.asarray(probe[None], dtype=real_dtype()),
+                    jnp.asarray(v2[None], dtype=real_dtype())))[0]
+                if np.all(unit > -1e-8) and np.all(unit < 1 + 1e-8):
+                    side_a.append((c, f))
+                    cells_b_list.append(c2)
+                    break
+
+    if not side_a:
+        return np.zeros(mesh.n_cells)
 
     nq = space.degree + 1
     fva = face_values(space, nq, side_a)
 
     # physical q points from side A; pull back into side B cells
     xq = jnp.asarray(fva.xq.reshape(-1, dim), dtype=real_dtype())
-    cells_b = np.array([c for c, _ in side_b])
+    cells_b = np.array(cells_b_list)
     vb = jnp.asarray(mesh.vertices[mesh.cells[cells_b]], dtype=real_dtype())
     n_f, n_q = fva.JxW.shape
     vb_rep = jnp.repeat(vb, n_q, axis=0)
@@ -74,9 +109,9 @@ def kelly_estimate(space, solution, n_components: int = 1,
                          np.asarray(fva.normals))
         h_f = np.asarray(fva.JxW).sum(axis=1)  # face measure ~ h_F
         contrib = (h_f / 24.0) * (jump ** 2 * np.asarray(fva.JxW)).sum(axis=1)
-        for i, ((ca, _), (cb, _)) in enumerate(zip(side_a, side_b)):
+        for i, (ca, _) in enumerate(side_a):
             eta2[ca] += contrib[i]
-            eta2[cb] += contrib[i]
+            eta2[cells_b[i]] += contrib[i]
     return np.sqrt(eta2)
 
 

@@ -380,7 +380,11 @@ class _MPIKernels:
             fluid_acc = (vs - u) / dt + jnp.einsum("nab,nb->na",
                                                    grad_at_node, u)
             val = fluid_acc - a_s
-            active = node_in_ind_cell & found & fsi._u_node_eligible
+            # NOTE: unlike the Dirichlet branch (mpi_fsi.cpp:590-602), the
+            # body-force branch sets fsi_acceleration at ALL velocity
+            # support points, including cell-interior ones
+            # (mpi_fsi.cpp:478-566) — no _u_node_eligible mask here.
+            active = node_in_ind_cell & found
             return jnp.where(active[:, None], val, 0.0)
 
         @jax.jit

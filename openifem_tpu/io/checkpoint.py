@@ -15,23 +15,40 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _step_of(path: str) -> int:
+    try:
+        return int(path.split("-")[-1].split(".")[0])
+    except ValueError:
+        return -1
+
+
 def save_checkpoint(prefix: str, step: int, arrays: Dict[str, np.ndarray],
                     keep_only_latest: bool = True):
-    """Write <prefix>-<step>.checkpoint.npz; remove older ones."""
+    """Write <prefix>-<step>.checkpoint.npz; then remove older ones.
+
+    Crash-safe ordering: the new checkpoint is written to a temp name and
+    atomically renamed BEFORE any older checkpoint is deleted, so a crash
+    or full disk mid-save never leaves the run without a restartable
+    checkpoint."""
+    path = f"{prefix}-{step:06d}.checkpoint.npz"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in arrays.items()})
+    os.replace(tmp, path)
     if keep_only_latest:
         for old in glob.glob(f"{prefix}-*.checkpoint.npz"):
-            os.remove(old)
-    path = f"{prefix}-{step:06d}.checkpoint.npz"
-    np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})
+            if old != path:
+                os.remove(old)
     return path
 
 
 def load_latest_checkpoint(prefix: str) -> Optional[Dict[str, np.ndarray]]:
-    """Load the lexicographically-latest <prefix>-*.checkpoint.npz."""
-    files = sorted(glob.glob(f"{prefix}-*.checkpoint.npz"))
+    """Load the latest <prefix>-*.checkpoint.npz by parsed step number."""
+    files = glob.glob(f"{prefix}-*.checkpoint.npz")
     if not files:
         return None
-    data = np.load(files[-1])
+    latest = max(files, key=_step_of)
+    data = np.load(latest)
     out = {k: data[k] for k in data.files}
-    out["__step__"] = int(files[-1].split("-")[-1].split(".")[0])
+    out["__step__"] = _step_of(latest)
     return out

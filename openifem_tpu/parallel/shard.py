@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -351,7 +352,10 @@ def make_sharded_stepper(solver, mesh: Mesh, axis: str = "cells"):
     This is the multi-chip production stepping path — one dispatch per
     timed window, SPMD across the device mesh.
 
-    Returns fn(present, n_steps) -> present (unpadded layout)."""
+    Returns fn(present, n_steps) -> (present, max_rel_res,
+    max_newton_iters) (unpadded layout): the worst final Newton relative
+    residual and largest iteration count over the window, so callers can
+    detect a silently non-converged step."""
     import jax.lax as lax
 
     newton = _sharded_insim_newton_impl(solver, mesh, axis)
@@ -377,13 +381,20 @@ def make_sharded_stepper(solver, mesh: Mesh, axis: str = "cells"):
             ev_new, rn = newton_once(ev, present)
             return (ev_new, it + 1, rn)
 
-        eval_pt, _, _ = lax.while_loop(cond, body, (eval_pt, 1, res0))
-        return eval_pt
+        eval_pt, it, res = lax.while_loop(cond, body, (eval_pt, 1, res0))
+        rel = jnp.where(res0 > 1e-11, res / jnp.maximum(res0, 1e-300), 0.0)
+        return eval_pt, rel, it
 
     @jax.jit
     def run_n(present, n_steps):
-        return lax.fori_loop(0, n_steps, lambda i, pr: one_step(pr),
-                             present)
+        def body(i, s):
+            p, worst_rel, worst_it = s
+            p2, rel, it = one_step(p)
+            return (p2, jnp.maximum(worst_rel, rel),
+                    jnp.maximum(worst_it, it))
+
+        return lax.fori_loop(0, n_steps, body,
+                             (present, jnp.zeros((), present.dtype), 0))
 
     return run_n
 

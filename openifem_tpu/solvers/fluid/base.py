@@ -290,16 +290,37 @@ class FluidSolverBase:
             self._pvd = PVDWriter(self.time, f"{prefix}.pvd")
         self._pvd.write_current_timestep(f"{prefix}-", 6)
 
+    _MESH_CKPT_FIELDS = ("vertices", "cells", "material_id", "boundary_id",
+                         "face_manifold", "cell_manifold", "level",
+                         "tfi_coarse", "tfi_rect", "family", "child_index")
+
     def save_checkpoint(self, step: Optional[int] = None,
                         prefix: str = "fluid"):
-        """reference: source/mpi_fluid_solver.cpp:581-636."""
+        """reference: source/mpi_fluid_solver.cpp:581-636.
+
+        Persists the mesh arrays alongside the solution — the reference
+        serializes the triangulation itself — so a restart after AMR changed
+        the dof layout rebuilds the adapted mesh rather than silently
+        restoring onto a wrong-sized global refinement."""
         from ...io.checkpoint import save_checkpoint
         if step is None:
             step = self.time.get_timestep()
-        save_checkpoint(prefix, step, {
+        arrays = {
             "present_solution": np.asarray(self.present_solution),
             "time_current": self.time.current(),
-        })
+        }
+        for f in self._MESH_CKPT_FIELDS:
+            arrays["mesh_" + f] = np.asarray(getattr(self.mesh, f))
+        # attached turbulence model piggybacks its state on the fluid
+        # checkpoint (reference: source/mpi_spalart_allmaras.cpp:569-591)
+        tm = getattr(self, "turbulence_model", None)
+        if tm is not None:
+            arrays["sa_nu_tilde"] = np.asarray(tm.present_solution)
+            arrays["sa_moving_wall_distance"] = np.asarray(
+                tm.moving_wall_distance)
+            arrays["sa_y_plus"] = np.asarray(tm.y_plus)
+            arrays["sa_accum_mask"] = np.asarray(tm._accum_mask)
+        save_checkpoint(prefix, step, arrays)
 
     def load_checkpoint(self, prefix: str = "fluid") -> bool:
         """reference: source/mpi_fluid_solver.cpp:638-713."""
@@ -307,12 +328,38 @@ class FluidSolverBase:
         data = load_latest_checkpoint(prefix)
         if data is None:
             return False
-        if not self._setup_done:
+        if "mesh_vertices" in data:
+            # Rebuild the (possibly AMR-adapted) mesh recorded at save time.
+            # Manifold / TFI chart objects are not serializable; their ids
+            # are stable across refinement, so carry them over from the
+            # current (coarse or already-set-up) mesh.
+            from ...mesh.mesh import Mesh
+            kw = {f: data["mesh_" + f] for f in self._MESH_CKPT_FIELDS}
+            self.mesh = Mesh(dim=self.dim, manifolds=self.mesh.manifolds,
+                             tfi=self.mesh.tfi, **kw)
+            self.setup()
+        elif not self._setup_done:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[0])
             self.setup()
+        if data["present_solution"].shape != (self.n_dofs,):
+            raise ValueError(
+                f"checkpoint '{prefix}' has {data['present_solution'].shape}"
+                f" dofs but the mesh yields {self.n_dofs}; the checkpoint "
+                "was saved on a different mesh")
         self.present_solution = jnp.asarray(data["present_solution"],
                                             dtype=real_dtype())
+        tm = getattr(self, "turbulence_model", None)
+        if tm is not None and "sa_nu_tilde" in data:
+            if not hasattr(tm, "space"):
+                tm.setup()
+            tm.present_solution = jnp.asarray(data["sa_nu_tilde"],
+                                              dtype=real_dtype())
+            tm.moving_wall_distance = jnp.asarray(
+                data["sa_moving_wall_distance"], dtype=real_dtype())
+            tm.y_plus = np.asarray(data["sa_y_plus"])
+            tm._accum_mask = np.asarray(data["sa_accum_mask"])
+            tm.update_eddy_viscosity()
         while self.time.get_timestep() < data["__step__"]:
             self.time.increment()
         self.update_stress()

@@ -385,7 +385,11 @@ class InsIM(FluidSolverBase):
         """Fully on-device time stepping: lax.fori_loop over steps with the
         Newton loop as a lax.while_loop — zero host round-trips per step.
         This is the production/benchmark path; run_one_step remains the
-        instrumented path.  Returns fn(present, n_steps) -> present."""
+        instrumented path.  Returns fn(present, n_steps) ->
+        (present, max_rel_res, max_newton_iters): the worst final Newton
+        relative residual and largest iteration count over the window, so
+        callers can detect a silently non-converged step (the host path
+        raises 'Too many Newton iterations!' instead)."""
         import jax.lax as lax
         params = self.params
         cons = self.zero_constraints
@@ -413,13 +417,22 @@ class InsIM(FluidSolverBase):
                 eval_new, rn = newton_once(eval_pt, present)
                 return (eval_new, it + 1, rn)
 
-            eval_pt, _, _ = lax.while_loop(cond, body, (eval_pt, 1, res0))
-            return eval_pt
+            eval_pt, it, res = lax.while_loop(cond, body,
+                                              (eval_pt, 1, res0))
+            rel = jnp.where(res0 > 1e-11, res / jnp.maximum(res0, 1e-300),
+                            0.0)
+            return eval_pt, rel, it
 
         @jax.jit
         def run_n(present, n_steps):
-            return lax.fori_loop(0, n_steps, lambda i, p: one_step(p),
-                                 present)
+            def body(i, s):
+                p, worst_rel, worst_it = s
+                p2, rel, it = one_step(p)
+                return (p2, jnp.maximum(worst_rel, rel),
+                        jnp.maximum(worst_it, it))
+
+            return lax.fori_loop(0, n_steps, body,
+                                 (present, jnp.zeros((), present.dtype), 0))
 
         return run_n
 

@@ -149,3 +149,29 @@ def test_hanging_nodes_3d_solve():
     uy = u.reshape(-1, 3)[:, 1]
     t = p.time_step
     assert np.allclose(uy, -10.0 * t * t / 2, rtol=1e-5)
+
+
+def test_kelly_includes_hanging_faces():
+    """The jump across a coarse/fine (hanging) interface is integrated:
+    a cell whose ONLY interior faces are nonconforming subfaces must get a
+    nonzero indicator for a field with a curvature jump (deal.II's
+    KellyErrorEstimator integrates subfaces there)."""
+    import numpy as np
+    from openifem_tpu.fe.kelly import kelly_estimate
+    from openifem_tpu.fe.space import FESpace
+    from openifem_tpu.mesh import generators
+
+    mesh = generators.subdivided_hyper_rectangle([1, 2], [0.0, 0.0],
+                                                 [1.0, 2.0])
+    mesh = mesh.refine(np.array([False, True]))  # top cell -> 4 children
+    space = FESpace(mesh, 1)
+    pts = space.node_points
+    # Q1-interpolated quadratic: the normal gradient jumps across every
+    # interior face, including the hanging one
+    field = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    eta = kelly_estimate(space, field)
+    # cell 0 (the coarse bottom cell) has only the hanging interface as
+    # interior faces; without subface integration its indicator is zero
+    assert eta[0] > 1e-8
+    # and the fine cells adjacent to it also pick up the jump
+    assert np.isfinite(eta).all()

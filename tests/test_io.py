@@ -80,3 +80,85 @@ def test_checkpoint_restart_solid(tmp_path, monkeypatch):
         s3.run_one_step(False)
     out = np.asarray(s3.get_current_solution())
     assert np.allclose(out, ref, atol=1e-10)
+
+
+def test_checkpoint_restart_after_amr(tmp_path, monkeypatch):
+    """A checkpoint saved after Kelly AMR changed the dof layout restores
+    the adapted mesh exactly (the reference persists the triangulation,
+    mpi_fluid_solver.cpp:581-713)."""
+    monkeypatch.chdir(tmp_path)
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.04
+    p.global_refinements[0] = 2
+    fa = InsIM(generators.hyper_cube(0.0, 1.0, dim=2), p)
+    fa.mesh = fa.mesh.refine_global(2)
+    fa.setup()
+    fa.run_one_step(True, verbose=False)
+    fa.refine_mesh(0, 3)
+    assert fa.mesh.n_cells != 16  # the layout actually changed
+    fa.run_one_step(False, verbose=False)
+    fa.save_checkpoint()
+    ref = np.asarray(fa.present_solution)
+
+    fb = InsIM(generators.hyper_cube(0.0, 1.0, dim=2), p)
+    assert fb.load_checkpoint()
+    assert fb.n_dofs == fa.n_dofs
+    assert fb.mesh.n_cells == fa.mesh.n_cells
+    assert np.array_equal(np.asarray(fb.present_solution), ref)
+    # and it can keep stepping on the adapted mesh
+    fb.run_one_step(False, verbose=False)
+    assert np.isfinite(np.asarray(fb.present_solution)).all()
+
+
+def test_checkpoint_restart_sa_turbulence(tmp_path, monkeypatch):
+    """Restart under an attached Spalart-Allmaras model is exact: nu~ and
+    wall state piggyback on the fluid checkpoint (reference:
+    source/mpi_spalart_allmaras.cpp:569-591)."""
+    from openifem_tpu.solvers.fluid.supg import SUPGInsIM
+    from openifem_tpu.solvers.turbulence import make_turbulence_model
+
+    monkeypatch.chdir(tmp_path)
+
+    def build():
+        p = AllParameters.from_file(
+            f"{REF}/fluid_plane_wall_driven_mpi_insim_supg/"
+            "fluid_plane_wall_driven_mpi_insim_supg.prm")
+        p.n_spalart_allmaras_model_bcs = 3
+        p.spalart_allmaras_model_bcs = {0: 1, 2: 0, 3: 0}
+        p.spalart_allmaras_initial_condition_coefficient = 3.0
+        mesh = generators.subdivided_hyper_rectangle(
+            [10, 8], [0.0, 0.0], [2.0, 0.4])
+        fluid = SUPGInsIM(mesh, p)
+        fluid.setup()
+        fluid._setup_done = True
+        sa = make_turbulence_model("Spalart-Allmaras", fluid)
+        sa.setup()
+        return fluid, sa
+
+    def step(fluid, sa, first):
+        sa.update_boundary_condition(first)
+        sa.run_one_step(first)
+        fluid.run_one_step(first, verbose=False)
+
+    # uninterrupted 4 steps
+    f1, sa1 = build()
+    for i in range(4):
+        step(f1, sa1, i == 0)
+    ref_u = np.asarray(f1.present_solution)
+    ref_nu = np.asarray(sa1.present_solution)
+
+    # 2 steps, checkpoint, restart, 2 more
+    f2, sa2 = build()
+    for i in range(2):
+        step(f2, sa2, i == 0)
+    f2.save_checkpoint()
+
+    f3, sa3 = build()
+    assert f3.load_checkpoint()
+    assert f3.time.get_timestep() == 2
+    assert np.array_equal(np.asarray(sa3.present_solution),
+                          np.asarray(sa2.present_solution))
+    for _ in range(2):
+        step(f3, sa3, False)
+    assert np.array_equal(np.asarray(f3.present_solution), ref_u)
+    assert np.array_equal(np.asarray(sa3.present_solution), ref_nu)

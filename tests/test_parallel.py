@@ -141,13 +141,17 @@ def test_sharded_stepper_matches_unsharded():
 
     s_ref = build()
     stepper = s_ref.make_on_device_stepper()
-    u_ref = np.asarray(stepper(s_ref.present_solution, 3))
+    u_ref, rel_ref, it_ref = stepper(s_ref.present_solution, 3)
+    u_ref = np.asarray(u_ref)
+    assert float(rel_ref) < s_ref.params.fluid_tolerance
 
     s_sh = build()
     dmesh = make_cell_mesh()
     shard_fluid_solver(s_sh, dmesh)
     sh_stepper = make_sharded_stepper(s_sh, dmesh)
-    u_sh = np.asarray(sh_stepper(s_sh.present_solution, 3))
+    u_sh, rel_sh, it_sh = sh_stepper(s_sh.present_solution, 3)
+    u_sh = np.asarray(u_sh)
+    assert float(rel_sh) < s_sh.params.fluid_tolerance
 
     scale = max(1.0, np.abs(u_ref).max())
     assert np.abs(u_sh - u_ref).max() < 1e-5 * scale
