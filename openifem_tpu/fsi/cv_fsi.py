@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import real_dtype
 from ..mesh.mesh import FACE_VERTICES
-from .interp import interpolate_nodal, invert_bilinear, locate_points
+from .interp import interpolate_nodal, invert_bilinear
 from .mpi_fsi import MPIFSI
 
 # boundary edges of a z-order quad cell (vertex-index pairs)
@@ -453,9 +453,8 @@ class ControlVolumeFSI(MPIFSI):
                 self._solid_face_geo_N(), moved[np.asarray(
                     self._solid_bface_verts)])
             pts = jnp.asarray(fq.reshape(-1, d), dtype=real_dtype())
-            idx, unit, found = locate_points(
-                pts, self._fluid_cell_verts, self._fluid_bbox_lo,
-                self._fluid_bbox_hi)
+            idx, unit, found = self._fluid_locate(self._fluid_hash_state,
+                                                  pts)
             p_at = np.asarray(interpolate_nodal(
                 sol[fluid.n_u:], jnp.asarray(fluid.p_space.cell_dofs,
                                              dtype=jnp.int32),
@@ -482,9 +481,8 @@ class ControlVolumeFSI(MPIFSI):
                  JxWf).sum())
 
         if self._probe_point is not None:
-            idx, unit, found = locate_points(
-                self._probe_jnp, self._fluid_cell_verts,
-                self._fluid_bbox_lo, self._fluid_bbox_hi)
+            idx, unit, found = self._fluid_locate(self._fluid_hash_state,
+                                                  self._probe_jnp)
             out["probed_pressure"] = float(interpolate_nodal(
                 sol[fluid.n_u:], jnp.asarray(fluid.p_space.cell_dofs,
                                              dtype=jnp.int32),

@@ -19,7 +19,8 @@ import numpy as np
 from ..config import real_dtype
 from ..parameters import AllParameters
 from ..utils.timectl import Time
-from .interp import interpolate_nodal, locate_points, shape_values_jax
+from .interp import (interpolate_nodal, make_cell_hash, plan_cell_hash,
+                     shape_values_jax)
 
 
 class FSI:
@@ -83,6 +84,19 @@ class FSI:
                                              dtype=real_dtype())
         self._fluid_bbox_lo = jnp.asarray(fverts[fcells].min(axis=1))
         self._fluid_bbox_hi = jnp.asarray(fverts[fcells].max(axis=1))
+
+        # grid-hash locators (candidate-list point location; O(n_p * K)
+        # instead of the all-pairs O(n_p * n_c)).  Fluid mesh is static:
+        # built once.  Solid moves: the build closure is called inside the
+        # jitted kernels on the deformed configuration each step; planned
+        # on the reference config with 2x headroom.
+        fdims, fspan, fK = plan_cell_hash(fverts[fcells])
+        fbuild, self._fluid_locate = make_cell_hash(
+            fluid.mesh.n_cells, fdims, fspan, fK)
+        self._fluid_hash_state = fbuild(self._fluid_cell_verts)
+        sdims, sspan, sK = plan_cell_hash(smesh.vertices[smesh.cells],
+                                          safety=2.0)
+        self._solid_hash = make_cell_hash(smesh.n_cells, sdims, sspan, sK)
 
         self._kernels = _FSIKernels(self)
 
@@ -278,17 +292,14 @@ class _FSIKernels:
         u_space_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
         n_sv = fsi._n_sv
 
-        def solid_geom(moved):
-            cv = moved[scell]
-            lo = cv.min(axis=1)
-            hi = cv.max(axis=1)
-            box_lo = moved.min(axis=0)
-            box_hi = moved.max(axis=0)
-            return cv, lo, hi, box_lo, box_hi
+        s_build, s_locate = fsi._solid_hash
 
         def points_in_solid(points, moved):
-            cv, lo, hi, box_lo, box_hi = solid_geom(moved)
-            idx, unit, found = locate_points(points, cv, lo, hi)
+            cv = moved[scell]
+            state = s_build(cv)  # rebuilt on the deformed config in-kernel
+            idx, unit, found = s_locate(state, points)
+            box_lo = moved.min(axis=0)
+            box_hi = moved.max(axis=0)
             inbox = jnp.all((points >= box_lo) & (points <= box_hi), axis=-1)
             return idx, unit, found & inbox
 
@@ -334,10 +345,9 @@ class _FSIKernels:
             fluid_stress_nodes: (n_scalar_nodes, d, d)."""
             fverts = moved[bface]              # (n_bf, nfv, d)
             centers = fverts.mean(axis=1)
-            # locate in the (static) fluid mesh
-            idx, unit, found = locate_points(
-                centers, fsi._fluid_cell_verts, fsi._fluid_bbox_lo,
-                fsi._fluid_bbox_hi)
+            # locate in the (static) fluid mesh via the grid hash
+            idx, unit, found = fsi._fluid_locate(fsi._fluid_hash_state,
+                                                 centers)
             u_nodes = fluid_solution[:fluid.n_u].reshape(-1, d)
             p_nodes = fluid_solution[fluid.n_u:]
             p_cell_dofs = jnp.asarray(fluid.p_space.cell_dofs,

@@ -128,6 +128,124 @@ def locate_points(points, cell_verts, cell_bbox_lo, cell_bbox_hi,
     return jnp.where(found, idx, -1), unit, found
 
 
+def plan_cell_hash(cell_verts_np, safety: float = 1.0,
+                   tol: float = 1e-10, max_dims_per_axis: int = 4096):
+    """Host-side planning of a uniform-grid cell hash: pick static grid
+    dims, per-cell bin span and query candidate count K from the geometry.
+
+    cell_verts_np: (n_c, 2**dim, dim) numpy vertices of a REPRESENTATIVE
+    configuration (for a moving mesh, the reference config; pass safety>1
+    to leave headroom for deformation).  Returns (dims, span, K) python
+    ints usable as static arguments to make_cell_hash.
+
+    The binning arithmetic (including the +-tol bbox inflation) must match
+    make_cell_hash's build exactly, otherwise span/K undercount on grid-
+    aligned meshes — pass the same tol to both."""
+    import numpy as np
+
+    cv = np.asarray(cell_verts_np)
+    dim = cv.shape[-1]
+    lo_c, hi_c = cv.min(axis=1) - tol, cv.max(axis=1) + tol
+    dom_lo, dom_hi = lo_c.min(axis=0), hi_c.max(axis=0)
+    ext = np.maximum(dom_hi - dom_lo, 1e-300)
+    cell_ext = np.maximum((hi_c - lo_c).max(axis=0), 1e-300)
+    dims = tuple(int(np.clip(np.floor(ext[a] / cell_ext[a]), 1,
+                             max_dims_per_axis)) for a in range(dim))
+    inv_bin = np.asarray(dims) / ext
+    b0 = np.clip(np.floor((lo_c - dom_lo) * inv_bin).astype(np.int64), 0,
+                 np.asarray(dims) - 1)
+    b1 = np.clip(np.floor((hi_c - dom_lo) * inv_bin).astype(np.int64), 0,
+                 np.asarray(dims) - 1)
+    span = int((b1 - b0 + 1).max())
+    # exact bin occupancy with these dims
+    strides = np.cumprod((1,) + dims[:-1])
+    ids = []
+    from itertools import product
+    for off in product(*(range(span) for _ in range(dim))):
+        b = b0 + np.asarray(off)
+        ok = (b <= b1).all(axis=1)
+        ids.append((b[ok] * strides).sum(axis=1))
+    _, counts = np.unique(np.concatenate(ids), return_counts=True)
+    K = int(np.ceil(counts.max() * safety)) + (4 if safety > 1 else 0)
+    span = span + (1 if safety > 1 else 0)
+    return dims, span, K
+
+
+def make_cell_hash(n_cells: int, dims, span: int, K: int,
+                   tol: float = 1e-10):
+    """Uniform-grid spatial hash with fully static shapes (the TPU-native
+    replacement for deal.II's CellLocator BFS, and the scalable successor
+    of the all-pairs locate_points): build is a sort of n_c*span**dim keys,
+    query gathers K candidate cells per point and runs the batched Newton
+    inversion on (n_p, K) only — memory linear in n_p.
+
+    Returns (build, locate): build(cell_verts) -> state (pure JAX, callable
+    inside jit every step for a moving mesh); locate(state, points) ->
+    (cell_idx, unit, found) with locate_points semantics (lowest containing
+    cell id wins)."""
+    from itertools import product
+
+    dims = tuple(int(x) for x in dims)
+    dim = len(dims)
+    n_bins = 1
+    strides = []
+    for a in range(dim):
+        strides.append(n_bins)
+        n_bins *= dims[a]
+    strides = jnp.asarray(strides, dtype=jnp.int64)
+    dims_arr = jnp.asarray(dims, dtype=jnp.int64)
+    BIG = jnp.int64(n_bins) * n_cells + n_cells  # > any valid key
+    offsets = jnp.asarray(list(product(*(range(span) for _ in range(dim)))),
+                          dtype=jnp.int64)  # (span**dim, dim)
+
+    def build(cell_verts):
+        lo_c = cell_verts.min(axis=1) - tol
+        hi_c = cell_verts.max(axis=1) + tol
+        dom_lo = lo_c.min(axis=0)
+        dom_hi = hi_c.max(axis=0)
+        inv_bin = dims_arr / jnp.maximum(dom_hi - dom_lo, 1e-300)
+        b0 = jnp.clip(jnp.floor((lo_c - dom_lo) * inv_bin), 0,
+                      dims_arr - 1).astype(jnp.int64)
+        b1 = jnp.clip(jnp.floor((hi_c - dom_lo) * inv_bin), 0,
+                      dims_arr - 1).astype(jnp.int64)
+        b = b0[:, None, :] + offsets[None, :, :]      # (n_c, span**d, d)
+        valid = jnp.all(b <= b1[:, None, :], axis=-1)
+        bin_id = jnp.einsum("cod,d->co", b, strides)
+        cell_id = jnp.arange(n_cells, dtype=jnp.int64)[:, None]
+        keys = jnp.where(valid, bin_id * n_cells + cell_id, BIG)
+        sorted_keys = jnp.sort(keys.reshape(-1))
+        return (sorted_keys, cell_verts, lo_c, hi_c, dom_lo, inv_bin)
+
+    def locate(state, points):
+        sorted_keys, cell_verts, lo_c, hi_c, dom_lo, inv_bin = state
+        n_p = points.shape[0]
+        pb = jnp.clip(jnp.floor((points - dom_lo) * inv_bin), 0,
+                      dims_arr - 1).astype(jnp.int64)
+        pid = pb @ strides                                   # (n_p,)
+        start = jnp.searchsorted(sorted_keys, pid * n_cells, side="left")
+        take = jnp.clip(start[:, None] + jnp.arange(K), 0,
+                        sorted_keys.shape[0] - 1)
+        k_keys = sorted_keys[take]                           # (n_p, K)
+        cand_ok = k_keys < (pid[:, None] + 1) * n_cells
+        cand = jnp.where(cand_ok, k_keys - pid[:, None] * n_cells, 0)
+        cand = jnp.clip(cand, 0, n_cells - 1).astype(jnp.int32)
+        inbb = jnp.all((points[:, None, :] >= lo_c[cand]) &
+                       (points[:, None, :] <= hi_c[cand]), axis=-1)
+        xi = invert_bilinear(
+            jnp.broadcast_to(points[:, None, :], (n_p, K, dim)),
+            cell_verts[cand])
+        inside = jnp.all((xi >= -1e-8) & (xi <= 1 + 1e-8), axis=-1) & \
+            cand_ok & inbb
+        first = jnp.argmax(inside, axis=1)
+        found = jnp.any(inside, axis=1)
+        rows = jnp.arange(n_p)
+        idx = jnp.where(found, cand[rows, first], -1)
+        unit = jnp.clip(xi[rows, first], 0.0, 1.0)
+        return idx, unit, found
+
+    return build, locate
+
+
 def interpolate_nodal(field, cell_dofs, cell_idx, unit, degree: int,
                       found=None):
     """Evaluate a nodal field at located points.

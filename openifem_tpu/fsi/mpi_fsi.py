@@ -25,7 +25,7 @@ import numpy as np
 from ..config import real_dtype
 from ..mesh.mesh import FACE_VERTICES
 from .fsi import FSI
-from .interp import interpolate_nodal, locate_points
+from .interp import interpolate_nodal
 
 
 class MPIFSI(FSI):
@@ -184,9 +184,8 @@ class MPIFSI(FSI):
         for vi, fl in enumerate(self._sb_vertex_faces):
             vn[vi] = fn[fl].mean(axis=0)
         pts = np.asarray(moved)[self._sb_vids]
-        idx, unit, found = locate_points(
-            jnp.asarray(pts, dtype=real_dtype()), self._fluid_cell_verts,
-            self._fluid_bbox_lo, self._fluid_bbox_hi)
+        idx, unit, found = self._fluid_locate(
+            self._fluid_hash_state, jnp.asarray(pts, dtype=real_dtype()))
         u = fluid.present_solution[:fluid.n_u].reshape(-1, d)
         u_cell_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
         uv = np.asarray(interpolate_nodal(
@@ -306,14 +305,14 @@ class _MPIKernels:
         u_cell_dofs = jnp.asarray(fluid.u_space.cell_dofs, dtype=jnp.int32)
         dt = fsi.params.time_step
 
-        def solid_geom(moved):
-            cv = moved[scell]
-            return cv, cv.min(axis=1), cv.max(axis=1), moved.min(axis=0), \
-                moved.max(axis=0)
+        s_build, s_locate = fsi._solid_hash
 
         def points_in_solid(points, moved):
-            cv, lo, hi, box_lo, box_hi = solid_geom(moved)
-            idx, unit, found = locate_points(points, cv, lo, hi)
+            cv = moved[scell]
+            state = s_build(cv)  # rebuilt on the deformed config in-kernel
+            idx, unit, found = s_locate(state, points)
+            box_lo = moved.min(axis=0)
+            box_hi = moved.max(axis=0)
             inbox = jnp.all((points >= box_lo) & (points <= box_hi), axis=-1)
             return idx, unit, found & inbox
 
@@ -410,9 +409,8 @@ class _MPIKernels:
             (reference: source/mpi_fsi.cpp:666-867)."""
             d_full = solid_disp.reshape(-1, d)
             pts = s_node_ref[bnodes] + d_full[bnodes]
-            idx, unit, found = locate_points(
-                pts, fsi._fluid_cell_verts, fsi._fluid_bbox_lo,
-                fsi._fluid_bbox_hi)
+            idx, unit, found = fsi._fluid_locate(fsi._fluid_hash_state,
+                                                 pts)
             p_nodes = fluid_solution[fluid.n_u:]
             p_val = interpolate_nodal(p_nodes, p_cell_dofs, idx, unit,
                                       fluid.params.fluid_pressure_degree,
