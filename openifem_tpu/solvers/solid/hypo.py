@@ -255,3 +255,134 @@ class HypoElasticity:
 
     def get_current_solution(self):
         return self.current_displacement
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step=None, prefix: str = "solid"):
+        """Particle-state checkpoint (x, v, sigma)."""
+        from ...io.checkpoint import save_checkpoint
+        if step is None:
+            step = self.time.get_timestep()
+        save_checkpoint(prefix, step, {
+            "x": np.asarray(self.x), "v": np.asarray(self.v),
+            "sigma": np.asarray(self.sigma),
+            "time_current": self.time.current()})
+
+    def load_checkpoint(self, prefix: str = "solid") -> bool:
+        from ...io.checkpoint import load_latest_checkpoint
+        data = load_latest_checkpoint(prefix)
+        if data is None:
+            return False
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[1])
+            self.setup()
+        rdt = real_dtype()
+        self.x = jnp.asarray(data["x"], dtype=rdt)
+        self.v = jnp.asarray(data["v"], dtype=rdt)
+        self.sigma = jnp.asarray(data["sigma"], dtype=rdt)
+        while self.time.get_timestep() < data["__step__"]:
+            self.time.increment()
+        self._sync()
+        return True
+
+
+class SharedHypoElasticity(HypoElasticity):
+    """FSI-side RKPM solid (reference: include/mpi_shared_hypo_elasticity.h,
+    source/mpi_shared_hypo_elasticity.cpp — the fsi-wall-3D solid).
+
+    Coupling contract of the Shared* family:
+     - `fsi_stress_rows` (n_nodes, d, d) nodal fluid stress set by
+       MPI::FSI::find_solid_bc; per step it is interpolated at the boundary
+       face quadrature points ON THE MOVED FACES and dotted with the moved
+       outward normal to give the particle traction
+       (reference: source/mpi_shared_hypo_elasticity.cpp:127-233)
+     - `update_strain_and_stress` / `stress` provide the nodal solid stress
+       the coupler subtracts from the fluid stress (projection of the RKPM
+       quadrature-point sigma with surrounding-cell averaging)
+
+    ctor (dx, hdx) mirrors the reference's particle spacing / smoothing
+    ratio; dx defaults to the mesh vertex spacing (which is what the
+    fsi-wall-3D main passes: 0.05 on the 20x20x8 box)."""
+
+    def __init__(self, mesh, params: AllParameters, dx: float = None,
+                 hdx: float = 1.3):
+        super().__init__(mesh, params)
+        self._dx = dx
+        self.h_factor = hdx
+
+    def setup(self):
+        if self._dx is not None:
+            # smoothing length h = hdx * dx, matching the reference ctor
+            d = self.dim
+            mean_diam = float(np.mean(self.mesh.cell_diameters()))
+            self.h_factor = self.h_factor * self._dx * np.sqrt(d) / mean_diam
+        super().setup()
+        from .shared import SharedSolidMixin
+        self._setup_shared_faces = SharedSolidMixin._setup_shared_faces.\
+            __get__(self)
+        self._face_geometry = SharedSolidMixin._face_geometry.__get__(self)
+        self._setup_shared_faces()
+
+        # stress projection quadrature -> nodes (for find_fluid_bc)
+        from ...fe.shapes import gauss_quadrature
+        k = self.params.solid_degree
+        qp, qw = gauss_quadrature(k + 1, self.dim)
+        N, _ = self.space.shapes.evaluate(qp)
+        Mref = np.einsum("qi,qj,q->ij", N, N, qw)
+        self._qpt_to_dof = np.linalg.solve(Mref, (N * qw[:, None]).T)
+        counts = np.zeros(self.space.n_nodes)
+        np.add.at(counts, self.space.cell_dofs.ravel(), 1.0)
+        self._node_counts = counts
+
+        # initial velocity at particles
+        iv = np.zeros(self.dim)
+        iv[:len(self.params.initial_velocity)] = \
+            self.params.initial_velocity[:self.dim]
+        if np.any(iv != 0):
+            v0 = jnp.broadcast_to(
+                jnp.asarray(iv, dtype=real_dtype()), self.v.shape)
+            self.v = jnp.where(self.fixed, 0.0, v0)
+            self._sync()
+
+    def moved_vertex_coords(self):
+        return self.x
+
+    def run_one_step(self, first_step: bool = False):
+        d = self.dim
+        fv = self.fv
+        if self.params.simulation_type == "FSI" and fv is not None:
+            # traction at face q points from fsi_stress_rows on moved faces
+            JxW, normals = self._face_geometry(self.x)
+            normals = normals * self._face_orient[:, None, None]
+            cell_nodes = self.space.cell_dofs[np.asarray(fv.cells)]
+            rows = self.fsi_stress_rows[jnp.asarray(cell_nodes)]
+            sig_q = jnp.einsum("fql,flab->fqab", jnp.asarray(
+                fv.N, dtype=real_dtype()), rows)
+            t_q = jnp.einsum("fqab,fqb->fqa", sig_q, normals)
+            tq = t_q.reshape(-1, d)
+        elif fv is not None:
+            tq = self._standalone_traction_q()
+        else:
+            tq = None
+        self.time.increment()
+        self.x, self.v, self.sigma, a = self._rk4_step(
+            self.x, self.v, self.sigma, tq)
+        self._acc = a
+        self._sync()
+
+    def update_strain_and_stress(self):
+        """Project the RKPM quadrature stress to averaged nodal fields.
+        RKPM tracks no total strain; strain output is zero (the coupler
+        consumes only the stress)."""
+        d = self.dim
+        n_c = self.cv.JxW.shape[0]
+        sig = np.asarray(self.sigma).reshape(n_c, -1, d, d)
+        out = np.zeros((d, d, self.space.n_nodes))
+        for i in range(d):
+            for j in range(d):
+                cellwise = np.einsum("iq,cq->ci", self._qpt_to_dof,
+                                     sig[:, :, i, j])
+                np.add.at(out[i, j], self.space.cell_dofs.ravel(),
+                          cellwise.ravel())
+        self.stress = out / self._node_counts
+        self.strain = np.zeros_like(self.stress)

@@ -36,7 +36,10 @@ from .materials import linear_elasticity_tensor, viscosity_tensor
 class SharedSolidMixin:
     """Nodal fsi_stress_rows + moved-face traction + initial velocity."""
 
-    def _setup_shared(self):
+    def _setup_shared_faces(self):
+        """Face tables for fsi_stress_rows traction on moved faces; needs
+        only self.{dim, space, fv, mesh, params} (no FE constraints), so
+        the meshfree SharedHypoElasticity reuses it."""
         d = self.dim
         rdt = real_dtype()
         self.fsi_stress_rows = jnp.zeros((self.space.n_nodes, d, d),
@@ -65,6 +68,12 @@ class SharedSolidMixin:
         ref_n = np.asarray(fv.normals)  # outward on reference mesh
         dots = np.einsum("fqa,fqa->f", np.asarray(ref_geom[1]), ref_n)
         self._face_orient = jnp.asarray(np.sign(dots), dtype=rdt)
+        self._n_sv = mesh.n_vertices
+
+    def _setup_shared(self):
+        d = self.dim
+        rdt = real_dtype()
+        self._setup_shared_faces()
 
         # initial velocity (reference: mpi_shared_solid_solver.cpp:156-196)
         iv = np.zeros(d)
@@ -76,8 +85,6 @@ class SharedSolidMixin:
                 jnp.asarray(v0, dtype=rdt))
             self.previous_velocity = v0j
             self.current_velocity = v0j
-
-        self._n_sv = mesh.n_vertices
 
     def _face_geometry(self, vert_coords):
         """(JxW (n_f, n_q), unit normals (n_f, n_q, d)) of the boundary

@@ -247,3 +247,50 @@ def test_cv_bernoulli_terms(tmp_path, monkeypatch):
         assert np.isfinite(last[f"{k}_contraction"])
         assert np.isfinite(last[f"{k}_jet"])
     assert len(fsi._path_cells) > 0
+
+
+def _wall3d_setup(fluid_reps, solid_reps, n_steps):
+    """fsi-wall-3D: 3D SCnsIM + SharedHypoElasticity (RKPM) + MPI::FSI
+    (reference: tests/fsi-wall-3D/fsi-wall-3D.cpp:29-60 — channel flow
+    driven by a 5e2 Neumann inlet against an elastic wall slab at z=2,
+    with local fluid pre-refinement around the wall)."""
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+    from openifem_tpu.solvers.solid import SharedHypoElasticity
+
+    p = AllParameters.from_file(f"{REF}/fsi-wall-3D/fsi-wall-3D.prm")
+    p.end_time = n_steps * p.time_step
+    fm = generators.subdivided_hyper_rectangle(fluid_reps, [0, 0, 0],
+                                               [1, 1, 4])
+    c = fm.cell_centers()
+    fm = fm.refine((c[:, 2] >= 2) & (c[:, 2] <= 2.4))
+    sm = generators.subdivided_hyper_rectangle(solid_reps, [0, 0, 0],
+                                               [1, 1, 0.4])
+    sm.vertices[:, 2] += 2.0
+    fluid = SCnsIM(fm, p)
+    solid = SharedHypoElasticity(sm, p, dx=1.0 / solid_reps[0], hdx=1.3)
+    return MPIFSI(fluid, solid, p), fluid, solid
+
+
+def test_fsi_wall_3d_truncated():
+    """Truncated fsi-wall-3D: all three north-star components coupled in
+    3D for 3 steps; fields finite, wall covered by the indicator, solid
+    receives fluid traction."""
+    fsi, fluid, solid = _wall3d_setup([4, 4, 16], [5, 5, 2], 3)
+    fsi.run(verbose=False)
+    u = np.asarray(fluid.present_solution)
+    assert np.isfinite(u).all()
+    assert np.abs(u[:fluid.n_u]).max() > 1.0       # inlet drives flow
+    assert np.asarray(fluid.indicator).sum() > 0   # wall covered
+    assert np.isfinite(np.asarray(solid.current_displacement)).all()
+    assert np.abs(np.asarray(solid.fsi_stress_rows)).max() > 0
+
+
+@pytest.mark.slow
+def test_fsi_wall_3d_smoke():
+    """fsi-wall-3D at half the reference resolution, 10 steps."""
+    fsi, fluid, solid = _wall3d_setup([5, 5, 20], [10, 10, 4], 10)
+    fsi.run(verbose=False)
+    u = np.asarray(fluid.present_solution)
+    assert np.isfinite(u).all()
+    assert np.isfinite(np.asarray(solid.current_displacement)).all()
+    assert np.asarray(fluid.indicator).sum() > 0
