@@ -659,3 +659,11 @@ class ControlVolumeFSI(MPIFSI):
                 self.control_volume_analysis()
             if self.output_solid_boundary:
                 self.output_solid_boundary_vertices()
+            if self.time.time_to_refine():
+                # interface refinement; _setup_coupling (called inside)
+                # rebuilds the CV cell lists and surface cutters on the new
+                # mesh (reference: source/cv_fsi.cpp:269-273)
+                gr = params.global_refinements[0]
+                self.refine_mesh(gr, gr + 3, verbose=verbose)
+            if self.time.time_to_save():
+                self.save_checkpoint()  # reference: cv_fsi.cpp:275-279

@@ -230,6 +230,16 @@ class FSI:
         sol = jnp.concatenate([u_new.reshape(-1), p_new])
         fluid.present_solution = fluid.nonzero_constraints.distribute(sol)
         fluid.update_stress()
+        # attached turbulence model: transfer nu~ and rebuild its tables on
+        # the refined mesh (reference pre/post_refine_mesh,
+        # source/mpi_fsi.cpp:1092-1117)
+        tm = getattr(fluid, "turbulence_model", None)
+        if tm is not None and hasattr(tm, "space"):
+            nu_old = tm.present_solution
+            tm.setup()
+            tm.present_solution = transfer_nodal_field(
+                old_mesh, old_u_space, nu_old, fluid.u_space.node_points)
+            tm.update_eddy_viscosity()
         self._setup_coupling()
 
     # ------------------------------------------------------------------

@@ -247,18 +247,38 @@ class MPIFSI(FSI):
 
     # ------------------------------------------------------------------
     def run(self, verbose: bool = True):
-        """reference: source/mpi_fsi.cpp:1119-1227."""
+        """reference: source/mpi_fsi.cpp:1119-1227: try restart from the
+        latest checkpoints first; initial solid-interface refinement x2;
+        per-step loop; interface refinement at `Refinement interval` and
+        coordinated checkpoints at `Save interval`."""
         params = self.params
         self.solid.mesh = self.solid.mesh.refine_global(
             params.global_refinements[1])
-        self.solid.setup()
-        self.fluid.mesh = self.fluid.mesh.refine_global(
-            params.global_refinements[0])
-        self.fluid.setup()
+        # Try load from previous computation (mpi_fsi.cpp:1127-1133)
+        success_load = self.solid.load_checkpoint() and \
+            self.fluid.load_checkpoint()
+        if success_load:
+            assert abs(self.solid.time.current() -
+                       self.fluid.time.current()) < 1e-12, (
+                "Solid and fluid restart files have different time steps. "
+                "Check and remove inconsistent restart files!")
+            while self.time.get_timestep() < self.solid.time.get_timestep():
+                self.time.increment()
+        else:
+            self.solid.setup()
+            self.fluid.mesh = self.fluid.mesh.refine_global(
+                params.global_refinements[0])
+            self.fluid.setup()
         tm = getattr(self.fluid, "turbulence_model", None)
         if tm is not None and not hasattr(tm, "space"):
             tm.setup()
         self._setup_coupling()
+
+        gr = params.global_refinements[0]
+        if params.refinement_interval < params.end_time:
+            # initial interface refinement x2 (mpi_fsi.cpp:1164-1171)
+            self.refine_mesh(gr, gr + 3, verbose=verbose)
+            self.refine_mesh(gr, gr + 3, verbose=verbose)
 
         if verbose:
             print(f"MPIFSI: fluid cells/dofs [{self.fluid.mesh.n_cells}, "
@@ -267,7 +287,7 @@ class MPIFSI(FSI):
 
         from ..utils.timer import Timer
         self.timer = getattr(self, "timer", None) or Timer("MPIFSI")
-        first_step = True
+        first_step = not success_load
         while self.time.end() - self.time.current() > 1e-12:
             with self.timer.scope("Find solid BC"):
                 self.find_solid_bc()
@@ -293,6 +313,13 @@ class MPIFSI(FSI):
                                         nonzero_cons=nonzero_ext)
             first_step = False
             self.time.increment()
+            if self.time.time_to_refine():
+                # solid-interface-distance refinement + coupling rebuild
+                # (mpi_fsi.cpp:1215-1220)
+                self.refine_mesh(gr, gr + 3, verbose=verbose)
+            if self.time.time_to_save():
+                # coordinated checkpoints (mpi_fsi.cpp:1221-1225)
+                self.save_checkpoint()
 
 
 class _MPIKernels:

@@ -365,6 +365,23 @@ class FluidSolverBase:
         self.update_stress()
         return True
 
+    def _end_of_step_io(self, refine_levels=None):
+        """run_one_step epilogue shared by every fluid solver (reference:
+        source/mpi_insim.cpp:475-489, source/mpi_supg_solver.cpp:400-424):
+        VTU/PVD output at `time_to_output` (also inside FSI runs), and —
+        standalone runs only — checkpoint at `time_to_save` and Kelly AMR
+        at `time_to_refine` with the given (min, max) levels."""
+        standalone = self.params.simulation_type == "Fluid"
+        if standalone and self.time.time_to_save():
+            self.save_checkpoint()
+        if self.time.time_to_output():
+            self.output_results()
+        if standalone and self.time.time_to_refine():
+            if refine_levels is None:
+                gr = self.params.global_refinements[0]
+                refine_levels = (gr, gr + 3)
+            self.refine_mesh(*refine_levels)
+
     def velocity_part(self, solution=None):
         s = self.present_solution if solution is None else solution
         return np.asarray(s[:self.n_u])

@@ -487,10 +487,9 @@ class InsIM(FluidSolverBase):
         self.present_solution = eval_pt
         with self.timer.scope("Update stress", sync=self.present_solution):
             self.update_stress()
-        # standalone Kelly AMR (reference: source/insim.cpp:450-453)
-        if (self.params.simulation_type == "Fluid"
-                and self.time.time_to_refine()):
-            self.refine_mesh(1, 3, verbose=verbose)
+        # output / checkpoint / standalone Kelly AMR
+        # (reference: source/insim.cpp:436-446, source/mpi_insim.cpp:475-489)
+        self._end_of_step_io(refine_levels=(1, 3))
 
     def run(self, verbose: bool = True):
         """reference: source/insim.cpp:445-459."""

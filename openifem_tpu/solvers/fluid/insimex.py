@@ -274,6 +274,8 @@ class InsIMEX(FluidSolverBase):
         if verbose:
             print(f" GMRES_ITR = {int(iters)} GMRES_RES = {float(gres):.6e}")
         self.update_stress()
+        # reference: source/insimex.cpp:378-388, source/mpi_insimex.cpp:433-444
+        self._end_of_step_io(refine_levels=(1, 3))
 
     def run(self, verbose: bool = True):
         if not self._setup_done:

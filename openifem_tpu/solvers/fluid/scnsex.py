@@ -230,6 +230,8 @@ class SCnsEX(FluidSolverBase):
         self.solution_increment = eval_pt - self.present_solution
         self.present_solution = eval_pt
         self.update_stress()
+        # reference: source/mpi_scnsex.cpp:505-519
+        self._end_of_step_io()
 
     def run(self, verbose: bool = True):
         """reference: source/mpi_scnsex.cpp:540-596.  Note the BC clock is

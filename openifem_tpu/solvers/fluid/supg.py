@@ -320,6 +320,8 @@ class SUPGFluidSolver(FluidSolverBase):
         self.solution_increment = eval_pt - self.present_solution
         self.present_solution = eval_pt
         self.update_stress()
+        # reference: source/mpi_supg_solver.cpp:400-424
+        self._end_of_step_io()
 
     def run(self, verbose: bool = True):
         """reference: source/mpi_supg_solver.cpp:427-486 (time-dependent

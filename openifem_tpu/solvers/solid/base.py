@@ -164,6 +164,57 @@ class SolidSolverBase:
             self._pvd = PVDWriter(self.time, f"{prefix}.pvd")
         self._pvd.write_current_timestep(f"{prefix}-", 6)
 
+    def refine_mesh(self, min_level: int, max_level: int):
+        """Kelly AMR on the displacement field with previous d/v/a transfer
+        (reference: source/solid_solver.cpp:209-268,
+        refine_and_coarsen_fixed_fraction(0.6, 0.4))."""
+        from ...fe.kelly import (coarsen_fraction_flags, kelly_estimate,
+                                 refine_fraction_flags)
+        from ...fe.transfer import transfer_nodal_field
+        d = self.dim
+        eta = kelly_estimate(self.space, np.asarray(self.current_displacement),
+                             n_components=d, component_offset=0)
+        flags = refine_fraction_flags(eta, 0.6)
+        flags &= np.asarray(self.mesh.level) < max_level
+        cflags = coarsen_fraction_flags(eta, 0.4) & ~flags
+        if not flags.any() and not cflags.any():
+            return
+        old_mesh, old_space = self.mesh, self.space
+        old_fields = [np.asarray(v).reshape(-1, d) for v in
+                      (self.previous_displacement, self.previous_velocity,
+                       self.previous_acceleration)]
+        mesh2, old_to_new = self.mesh.coarsen(cflags, min_level)
+        rflags = np.zeros(mesh2.n_cells, dtype=bool)
+        rflags[old_to_new[flags]] = True
+        self.mesh = mesh2.refine(rflags)
+        self.setup()
+        new = [self.constraints.distribute(
+            transfer_nodal_field(old_mesh, old_space, f,
+                                 self.space.node_points).reshape(-1))
+            for f in old_fields]
+        (self.previous_displacement, self.previous_velocity,
+         self.previous_acceleration) = new
+        (self.current_displacement, self.current_velocity,
+         self.current_acceleration) = new
+
+    def _end_of_step_io(self, first_step: bool = False,
+                        refine_levels=None, guard_refine: bool = True):
+        """run_one_step epilogue (reference: source/linear_elasticity.cpp:
+        310-320, source/mpi_shared_linear_elasticity.cpp:378-398): output at
+        time_to_output (and at the first step), checkpoint at time_to_save
+        in standalone runs, Kelly AMR at time_to_refine (unguarded for the
+        serial LinearElasticity, reference :317)."""
+        standalone = self.params.simulation_type == "Solid"
+        if first_step or self.time.time_to_output():
+            if hasattr(self, "update_strain_and_stress"):
+                self.update_strain_and_stress()
+            self.output_results()
+        if standalone and self.time.time_to_save():
+            self.save_checkpoint()
+        if refine_levels is not None and self.time.time_to_refine() and \
+                (standalone or not guard_refine):
+            self.refine_mesh(*refine_levels)
+
     def save_checkpoint(self, step: Optional[int] = None,
                         prefix: str = "solid"):
         """reference: source/mpi_shared_solid_solver.cpp:452-505."""

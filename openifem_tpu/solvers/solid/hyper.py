@@ -197,6 +197,8 @@ class HyperElasticity(SolidSolverBase):
         self.previous_displacement = disp
         self.previous_acceleration = a_new
         self.previous_velocity = v_new
+        # reference: source/hyper_elasticity.cpp:84-202
+        self._end_of_step_io(first_step)
 
     def _stress_from_strain(self, eps, gradu):
         """Kirchhoff stress at quadrature points for output."""

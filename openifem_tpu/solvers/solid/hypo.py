@@ -212,6 +212,7 @@ class HypoElasticity:
             self.x, self.v, self.sigma, tq)
         self._acc = a
         self._sync()
+        self._end_of_step_io(first_step)
 
     def _standalone_traction_q(self):
         params = self.params
@@ -255,6 +256,36 @@ class HypoElasticity:
 
     def get_current_solution(self):
         return self.current_displacement
+
+    # ------------------------------------------------------------------
+    def output_results(self, step=None, prefix: str = "solid"):
+        """VTU/PVD output of the FE-facing particle state (reference:
+        SolidSolver::output_results + vtk_write_particle,
+        source/mpi_shared_hypo_elasticity.cpp:59-96)."""
+        from ...io.vtk import write_vtu
+        from ...utils.pvd import PVDWriter
+        if step is None:
+            step = self.time.get_timestep()
+        d = self.dim
+        n_vert = self.mesh.n_vertices
+        u = np.asarray(self.current_displacement).reshape(-1, d)
+        v = np.asarray(self.current_velocity).reshape(-1, d)
+        write_vtu(f"{prefix}-{step:06d}.vtu", self.mesh,
+                  point_data={"displacements": u[:n_vert],
+                              "velocities": v[:n_vert]},
+                  cell_data={"material_id":
+                             np.asarray(self.mesh.material_id)})
+        if not hasattr(self, "_pvd"):
+            self._pvd = PVDWriter(self.time, f"{prefix}.pvd")
+        self._pvd.write_current_timestep(f"{prefix}-", 6)
+
+    def _end_of_step_io(self, first_step: bool = False):
+        """reference: source/mpi_shared_hypo_elasticity.cpp:62-101."""
+        if first_step or self.time.time_to_output():
+            self.output_results()
+        if self.params.simulation_type == "Solid" and \
+                self.time.time_to_save():
+            self.save_checkpoint()
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, step=None, prefix: str = "solid"):
@@ -369,6 +400,7 @@ class SharedHypoElasticity(HypoElasticity):
             self.x, self.v, self.sigma, tq)
         self._acc = a
         self._sync()
+        self._end_of_step_io(first_step)
 
     def update_strain_and_stress(self):
         """Project the RKPM quadrature stress to averaged nodal fields.

@@ -141,6 +141,10 @@ class LinearElasticity(SolidSolverBase):
         self.previous_velocity = v_new
         self.previous_displacement = d_new
         self.lin_iters = int(res.iters)
+        # reference: source/linear_elasticity.cpp:255-320 (refine is NOT
+        # guarded by simulation type there)
+        self._end_of_step_io(first_step, refine_levels=(1, 4),
+                             guard_refine=False)
 
     def _stress_from_strain(self, eps, gradu):
         params = self.params

@@ -249,6 +249,9 @@ class SharedLinearElasticity(SharedSolidMixin, SolidSolverBase):
         self.previous_velocity = v_new
         self.previous_displacement = d_new
         self.lin_iters = int(res.iters)
+        # reference: source/mpi_shared_linear_elasticity.cpp:378-398
+        # (refine/save guarded by simulation type there)
+        self._end_of_step_io(first_step, refine_levels=(1, 4))
 
     def _stress_from_strain(self, eps, gradu):
         params = self.params

@@ -16,3 +16,13 @@ if os.environ.get("OPENIFEM_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 import openifem_tpu  # noqa: E402,F401  (enables x64)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_cwd(tmp_path, monkeypatch):
+    """Run every test in its own temp directory: run loops now write
+    VTU/PVD/checkpoint artifacts at the configured intervals (matching the
+    reference), and those must not land in the repo."""
+    monkeypatch.chdir(tmp_path)

@@ -162,3 +162,30 @@ def test_checkpoint_restart_sa_turbulence(tmp_path, monkeypatch):
         step(f3, sa3, False)
     assert np.array_equal(np.asarray(f3.present_solution), ref_u)
     assert np.array_equal(np.asarray(sa3.present_solution), ref_nu)
+
+
+def test_run_loop_outputs_at_intervals(tmp_path, monkeypatch):
+    """Every run loop writes VTU/PVD at `Output interval` like the
+    reference solvers do (source/mpi_fluid_solver.cpp:490-579,
+    mpi_insim.cpp:481-484) — without the test calling output_results."""
+    import glob
+    monkeypatch.chdir(tmp_path)
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    dt = p.time_step
+    p.end_time = 4 * dt
+    p.output_interval = 2 * dt
+    p.global_refinements[0] = 2
+    f = InsIM(generators.hyper_cube(0.0, 1.0, dim=2), p)
+    f.run(verbose=False)
+    vtus = sorted(glob.glob("fluid-*.vtu"))
+    assert [v for v in vtus] == ["fluid-000002.vtu", "fluid-000004.vtu"]
+    assert os.path.exists("fluid.pvd")
+    # solid side
+    ps = AllParameters.from_file(
+        f"{REF}/solid_gravity_linearelastic/solid_gravity_linearelastic.prm")
+    ps.end_time = 2 * ps.time_step
+    ps.output_interval = ps.time_step
+    s = LinearElasticity(generators.sphere([0.0, 0.0], 0.25, dim=2), ps)
+    s.run()
+    svtus = sorted(glob.glob("solid-*.vtu"))
+    assert "solid-000001.vtu" in svtus and "solid-000002.vtu" in svtus

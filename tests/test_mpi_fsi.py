@@ -294,3 +294,71 @@ def test_fsi_wall_3d_smoke():
     assert np.isfinite(u).all()
     assert np.isfinite(np.asarray(solid.current_displacement)).all()
     assert np.asarray(fluid.indicator).sum() > 0
+
+
+def test_mpi_fsi_restart_exactness():
+    """MPIFSI.run loads the latest coordinated checkpoints at start and
+    saves at `Save interval` (reference: source/mpi_fsi.cpp:1127-1133,
+    1221-1225): a run interrupted at the save point and re-launched
+    reproduces the uninterrupted run exactly."""
+    def build(n_steps, p0=None):
+        p = AllParameters.from_file(
+            f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+        dt = p.time_step
+        p.end_time = n_steps * dt
+        p.save_interval = 2 * dt
+        fluid_mesh = generators.subdivided_hyper_rectangle(
+            [20, 10], [0.0, 0.0], [2.0, 1.0])
+        solid_mesh = generators.subdivided_hyper_rectangle(
+            [5, 5], [0.0, 0.0], [1.0, 1.02])
+        solid_mesh.vertices = solid_mesh.vertices + np.array([0.25, 0.0])
+        fluid = SCnsIM(fluid_mesh, p)
+        solid = SharedLinearElasticity(solid_mesh, p)
+        return MPIFSI(fluid, solid, p), fluid, solid
+
+    fsi, fluid, solid = build(4)
+    fsi.run(verbose=False)
+    ref_u = np.asarray(fluid.present_solution)
+    ref_d = np.asarray(solid.current_displacement)
+
+    # interrupted: 2 steps (checkpoint saved at step 2), then restart
+    import glob, os
+    for f in glob.glob("*.checkpoint.npz"):
+        os.remove(f)
+    fsi1, fluid1, solid1 = build(2)
+    fsi1.run(verbose=False)
+    assert glob.glob("fluid-*.checkpoint.npz"), "no checkpoint saved"
+
+    fsi2, fluid2, solid2 = build(4)
+    fsi2.run(verbose=False)
+    assert fsi2.time.get_timestep() == 4
+    assert np.allclose(np.asarray(fluid2.present_solution), ref_u,
+                       atol=1e-12)
+    assert np.allclose(np.asarray(solid2.current_displacement), ref_d,
+                       atol=1e-12)
+
+
+def test_mpi_fsi_refine_during_run():
+    """MPIFSI interface refinement at `Refinement interval` with solution
+    transfer and coupling-table rebuild (reference:
+    source/mpi_fsi.cpp:1024-1117, 1215-1220)."""
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    dt = p.time_step
+    p.end_time = 3 * dt
+    p.refinement_interval = 2 * dt
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [20, 10], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [5, 5], [0.0, 0.0], [1.0, 1.02])
+    solid_mesh.vertices = solid_mesh.vertices + np.array([0.25, 0.0])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = MPIFSI(fluid, solid, p)
+    fsi.run(verbose=False)
+    # initial x2 + interval refinement happened and the run survived them
+    assert fluid.mesh.n_cells > 200          # refined beyond 20x10
+    assert (np.asarray(fluid.mesh.level) > 0).any()
+    u = np.asarray(fluid.present_solution)
+    assert np.isfinite(u).all()
+    assert np.asarray(fluid.indicator).sum() > 0  # coupling tables rebuilt
