@@ -21,9 +21,10 @@ compression work, SUPG/LSIC stabilization rate, turbulence dissipation
 rate, gap volume flow at the solid tip, deformed VF volume, max velocity,
 pressure probe, VF drag/friction/work on the moved interface.
 
-Not implemented (documented): the Bernoulli contraction/jet region
-decomposition (source/cv_fsi.cpp:1243-1591) and the POD solid-boundary
-vertex dump.
+Also implemented: the Bernoulli contraction/jet head decomposition along
+the glottis streamline path (source/cv_fsi.cpp:1243-1591, `_bernoulli_terms`
+below) and the per-step solid-boundary trace for POD post-processing
+(source/cv_fsi.cpp:1594-1634, `output_solid_boundary_vertices` below).
 """
 
 from __future__ import annotations

@@ -211,35 +211,41 @@ class MPIFSI(FSI):
         # all boundary faces participate (the reference loop does not skip
         # Dirichlet faces here); each (face, vertex) OCCURRENCE adds its own
         # contribution, so vertices shared by two boundary faces accumulate
-        # twice — replicated exactly (reference: source/mpi_fsi.cpp:903-954)
+        # twice — replicated exactly (reference: source/mpi_fsi.cpp:903-954).
+        # Batched: verts (P,) / normals (P, d) flat pair tables, penetration
+        # and traction accumulation as one masked scatter-add per retry.
         fv = solid.fv
-        smesh = solid.mesh
-        face_vertex_pairs = []  # (vertex id, face normal)
-        normals0 = np.asarray(fv.normals)[:, 0, :]
-        for i, (c, f) in enumerate(zip(np.asarray(fv.cells),
-                                       np.asarray(fv.faces))):
-            for v in FACE_VERTICES[d][f]:
-                face_vertex_pairs.append((int(smesh.cells[c, v]),
-                                          normals0[i]))
+        smesh = np.asarray(solid.mesh.cells)
+        fvidx = np.asarray(FACE_VERTICES[d])[np.asarray(fv.faces)]  # (F,vpf)
+        verts = smesh[np.asarray(fv.cells)[:, None], fvidx].reshape(-1)
+        normals0 = np.asarray(fv.normals)[:, 0, :]                  # (F,d)
+        nrm = jnp.asarray(np.repeat(normals0, fvidx.shape[1], axis=0))
+        verts_j = jnp.asarray(verts, dtype=jnp.int32)
+        dirn_j = jnp.asarray(dirn, dtype=real_dtype())
+
+        @jax.jit
+        def _add_contact_traction(rows, pen):
+            # extra[p, :, d-1] = force * pen[p] * dirn / nrm[p] where the
+            # normal component is usable (reference: mpi_fsi.cpp:929-948)
+            active = pen > 1e-5
+            traction = force_increment * pen[:, None] * dirn_j[None, :]
+            col = jnp.where(nrm > 1e-5, traction / jnp.where(
+                nrm > 1e-5, nrm, 1.0), 0.0)          # (P, d)
+            col = jnp.where(active[:, None], col, 0.0)
+            extra = jnp.zeros(col.shape + (d,),
+                              dtype=rows.dtype).at[..., d - 1].set(col)
+            return rows.at[verts_j].add(extra), jnp.any(active)
 
         while True:
             solid.run_one_step(first_step)
-            moved = np.asarray(solid.moved_vertex_coords())
-            verts = np.array([p[0] for p in face_vertex_pairs])
-            pen = np.asarray(self.penetration_criterion(moved[verts]))
-            if not np.any(pen > 1e-5):
+            moved = solid.moved_vertex_coords()
+            pen = jnp.asarray(self.penetration_criterion(
+                np.asarray(moved)[verts]), dtype=real_dtype())
+            rows, any_active = _add_contact_traction(
+                jnp.asarray(solid.fsi_stress_rows, dtype=real_dtype()), pen)
+            if not bool(any_active):
                 break
-            rows = np.array(solid.fsi_stress_rows)
-            for (node, nrm), pv in zip(face_vertex_pairs, pen):
-                if pv <= 1e-5:
-                    continue
-                traction = force_increment * pv * dirn
-                extra = np.zeros((d, d))
-                for dd in range(d):
-                    extra[dd, d - 1] = (traction[dd] / nrm[dd]
-                                        if nrm[dd] > 1e-5 else 0.0)
-                rows[node] += extra
-            solid.fsi_stress_rows = jnp.asarray(rows, dtype=real_dtype())
+            solid.fsi_stress_rows = rows
             (solid.current_acceleration, solid.current_velocity,
              solid.current_displacement, solid.previous_acceleration,
              solid.previous_velocity, solid.previous_displacement) = cache

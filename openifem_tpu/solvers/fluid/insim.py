@@ -328,25 +328,34 @@ class InsIM(FluidSolverBase):
             Mp_loc, self.cell_dofs_p, self.n_p, x))
         mp_dinv = jnp.where(Mp_diag != 0, 1.0 / Mp_diag, 1.0)
 
-        def precond(v):
+        def _apply(v, with_stats):
             out_dtype = v.dtype
             v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
             np_norm = jnp.linalg.norm(vp)
             atol_p = jnp.maximum(self.mp_sm_rtol * np_norm, 1e-10)
-            tmp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
-                     maxiter=self.mp_cg_maxiter).x
-            tmp = tmp * (-(nu_visc + gamma * rho))
+            mp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
+                    maxiter=self.mp_cg_maxiter)
+            tmp = mp.x * (-(nu_visc + gamma * rho))
             sm = cg(op_Sm, vp, M=lambda r: r * sm_dinv, atol=atol_p,
-                    maxiter=self.schur_cg_maxiter).x
-            dst_p = sm * (-rho / dt) + tmp
+                    maxiter=self.schur_cg_maxiter)
+            dst_p = sm.x * (-rho / dt) + tmp
             utmp = vu - apply_BT(dst_p)
             atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
-            dst_u = fgmres(op_A, utmp, M=apply_dinv_A,
-                           atol=atol_u, restart=self.a_inner_restart,
-                           max_restarts=self.a_inner_restarts).x
-            return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
+            au = fgmres(op_A, utmp, M=apply_dinv_A,
+                        atol=atol_u, restart=self.a_inner_restart,
+                        max_restarts=self.a_inner_restarts)
+            out = jnp.concatenate([au.x, dst_p]).astype(out_dtype)
+            if with_stats:
+                return out, (mp.iters, sm.iters, au.iters)
+            return out
 
+        def precond(v):
+            return _apply(v, False)
+
+        # telemetry twin: one apply -> (result, (mp_iters, sm_iters,
+        # a_iters)); used by the iteration-parity report in bench.py
+        precond.stats = lambda v: _apply(v, True)
         return precond
 
     # ------------------------------------------------------------------

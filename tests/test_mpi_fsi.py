@@ -362,3 +362,27 @@ def test_mpi_fsi_refine_during_run():
     u = np.asarray(fluid.present_solution)
     assert np.isfinite(u).all()
     assert np.asarray(fluid.indicator).sum() > 0  # coupling tables rebuilt
+
+
+def test_fsi_rkpm_2d_truncated():
+    """fsi-rkpm-rk4 (2D): SCnsIM + SharedHypoElasticity (RKPM) + MPI::FSI
+    (reference: tests/fsi-rkpm-rk4/fsi-rkpm-rk4.cpp:107-144 — a 0.5 x 2
+    elastic wall at x=2 in a 5 x 2 channel; the reference constructs the
+    solver with dx=0.05, hdx=1.3 and runs with PML/body-force disabled),
+    coarsened and truncated to 3 steps."""
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+    from openifem_tpu.solvers.solid import SharedHypoElasticity
+
+    p = AllParameters.from_file(f"{REF}/fsi-rkpm-rk4/fsi-rkpm-rk4.prm")
+    p.end_time = 3 * p.time_step
+    fm = generators.subdivided_hyper_rectangle([30, 8], [0, 0], [5.0, 2.0])
+    sm = generators.subdivided_hyper_rectangle([3, 12], [0, 0], [0.5, 2.0])
+    sm.vertices[:, 0] += 2.0
+    fluid = SCnsIM(fm, p)
+    solid = SharedHypoElasticity(sm, p, dx=0.5 / 3, hdx=1.3)
+    fsi = MPIFSI(fluid, solid, p)
+    fsi.run(verbose=False)
+    u = np.asarray(fluid.present_solution)
+    assert np.isfinite(u).all()
+    assert np.asarray(fluid.indicator).sum() > 0      # wall covered
+    assert np.isfinite(np.asarray(solid.current_displacement)).all()

@@ -198,3 +198,77 @@ def test_dof_sharded_supg_newton_matches_unsharded():
     scale = max(1.0, float(np.abs(np.asarray(du_ref)).max()))
     assert np.abs(np.asarray(du_sh) - np.asarray(du_ref)).max() < 1e-5 * \
         scale
+
+
+def test_fluid_pipe_sharded_stepper():
+    """fluid_pipe_mpi analog (reference: tests/fluid_pipe_mpi — the same
+    Poiseuille pipe on the distributed MPI::InsIM): the fully sharded
+    on-device stepper on the 8-device mesh reproduces the host path and
+    drives the profile toward the parabolic vmax = 1.5."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_fluid_solver
+    from openifem_tpu.parallel.shard import make_sharded_stepper
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_pipe_mpi/fluid_pipe_mpi.prm")
+    L, D, h = 2.0, 0.2, 0.04
+
+    def build():
+        mesh = generators.subdivided_hyper_rectangle(
+            [int(L / h), int(D / h)], [0.0, 0.0], [L, D])
+        s = InsIM(mesh, p)
+        s.setup()
+        s._setup_done = True
+        s.run_one_step(True, verbose=False)
+        return s
+
+    s_ref = build()
+    for _ in range(3):
+        s_ref.run_one_step(False, verbose=False)
+    u_ref = np.asarray(s_ref.present_solution)
+
+    s_sh = build()
+    dmesh = make_cell_mesh()
+    shard_fluid_solver(s_sh, dmesh)
+    stepper = make_sharded_stepper(s_sh, dmesh)
+    u_sh, rel, _ = stepper(s_sh.present_solution, 3)
+    assert float(rel) < p.fluid_tolerance
+    u_sh = np.asarray(u_sh)
+    scale = max(1.0, np.abs(u_ref).max())
+    assert np.abs(u_sh - u_ref).max() < 1e-5 * scale
+    # profile develops toward vmax = 1.5 (hit exactly at the full 20 steps,
+    # asserted by the serial fluid_pipe golden in test_fluid.py)
+    vmax = np.abs(u_sh[:s_sh.n_u]).max()
+    assert 1.0 < vmax < 1.6
+
+
+def test_solid_beam_sharded_matches_serial():
+    """solid_beam_bending_mpi_linearelastic analog (reference:
+    tests/solid_beam_bending_mpi_linearelastic — distributed standalone
+    solid): the dof-range-sharded CG beam matches the serial beam."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh, shard_solid_solver
+    from openifem_tpu.solvers.solid import LinearElasticity
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/solid_beam_bending_mpi_linearelastic/"
+        "solid_beam_bending_mpi_linearelastic.prm")
+    p.end_time = 3 * p.time_step
+
+    def make(shard):
+        mesh = generators.subdivided_hyper_rectangle(
+            [16, 2], [0.0, 0.0], [8.0, 1.0])
+        solid = LinearElasticity(mesh, p)
+        solid.setup()
+        if shard:
+            shard_solid_solver(solid, make_cell_mesh())
+        solid.run()
+        return np.asarray(solid.get_current_solution())
+
+    u_ref = make(False)
+    u_sh = make(True)
+    assert np.abs(u_sh - u_ref).max() < 1e-10 * max(1.0, np.abs(u_ref).max())
+    assert u_sh.min() < -1e-4  # bends downward

@@ -180,3 +180,37 @@ def test_shared_neohookean_beam_golden():
     solid.run()
     u = np.asarray(solid.get_current_solution())
     assert abs((float(u.min()) + 0.0616287) / 0.0616287) < 1e-3
+
+
+def test_solid_rotation_shared_kirchhoff_smoke():
+    """SharedHyperElasticity with the Kirchhoff material (reference:
+    tests/solid_rotation_mpi_shared_Kirchhoff — 2x2 unit block spun by a
+    boundary traction; smoke test), truncated."""
+    from openifem_tpu.solvers.solid.shared import SharedHyperElasticity
+    p = AllParameters.from_file(
+        f"{REF}/solid_rotation_mpi_shared_Kirchhoff/"
+        "solid_rotation_mpi_shared_Kirchhoff.prm")
+    p.end_time = 50 * p.time_step
+    mesh = generators.subdivided_hyper_rectangle([2, 2], [0, 0], [1.0, 1.0])
+    solid = SharedHyperElasticity(mesh, p)
+    solid.run()
+    u = np.asarray(solid.get_current_solution())
+    assert np.isfinite(u).all()
+    assert 1e-5 < np.abs(u).max() < 1.0
+
+
+def test_hypo_elasticity_3d_truncated():
+    """3D RKPM beam (reference: tests/rkpm-rk4-3D — clamped 8x1x1 beam,
+    downward z traction on the top face, NeoHookean-parameterized
+    hypo-elastic rate update), truncated and coarsened: the beam starts
+    bending in -z and stays stable."""
+    from openifem_tpu.solvers.solid.hypo import HypoElasticity
+    p = AllParameters.from_file(f"{REF}/rkpm-rk4-3D/rkpm-rk4-3D.prm")
+    p.end_time = 30 * p.time_step
+    mesh = generators.subdivided_hyper_rectangle(
+        [16, 2, 2], [0, 0, 0], [8.0, 1.0, 1.0])
+    s = HypoElasticity(mesh, p)
+    s.run()
+    u = np.asarray(s.get_current_solution()).reshape(-1, 3)
+    assert np.isfinite(u).all()
+    assert -0.5 < u[:, 2].min() < -1e-6   # bends down in z, bounded
