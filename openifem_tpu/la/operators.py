@@ -37,6 +37,108 @@ def element_matvec_rect(A_loc, row_dofs, col_dofs, n_rows: int, x):
     return scatter_add(n_rows, row_dofs, yl)
 
 
+def element_matvec_nodeblock(Ab, cell_nodes, n_nodes: int, x):
+    """y = A x for vector-valued blocks in node-block layout.
+
+    Ab: (n_c, nl, d, nl, d) element blocks; cell_nodes: (n_c, nl) NODE
+    indices; x: (n_nodes*d,) interleaved [node0_x, node0_y, ...].
+
+    Same result as element_matvec with interleaved dof tables, but gathers
+    and scatters node rows of d components instead of scalar dofs — half
+    (2D) or a third (3D) of the index traffic.  Measured 2.2x faster than
+    the flat scatter on TPU v5e at Turek refine=3 sizes."""
+    d = Ab.shape[2]
+    v2 = x.reshape(-1, d)
+    xl = v2[cell_nodes]                              # (n_c, nl, d)
+    yl = jnp.einsum("ciajb,cjb->cia", Ab, xl,
+                    preferred_element_type=x.dtype)
+    y = jnp.zeros((n_nodes, d), dtype=x.dtype).at[
+        cell_nodes.reshape(-1)].add(yl.reshape(-1, d))
+    return y.reshape(-1)
+
+
+def element_matvec_taylor_hood(A_loc, u_nodes, p_dofs, nlu: int, d: int,
+                               n_u: int, n_p: int, x):
+    """Full coupled [u | p] matvec with the velocity part in node-block
+    layout.  A_loc: (n_c, nlu*d + nlp, nlu*d + nlp) with the local
+    velocity dofs interleaved (node-major, component-minor) followed by
+    the pressure dofs; u_nodes: (n_c, nlu) velocity NODE indices;
+    p_dofs: (n_c, nlp) pressure dof indices (0-based in the p block);
+    x: (n_u + n_p,) global [u | p] vector."""
+    n_c = A_loc.shape[0]
+    nu = nlu * d
+    Auu = A_loc[:, :nu, :nu].reshape(n_c, nlu, d, nlu, d)
+    Aup = A_loc[:, :nu, nu:].reshape(n_c, nlu, d, -1)
+    Apu = A_loc[:, nu:, :nu].reshape(n_c, -1, nlu, d)
+    App = A_loc[:, nu:, nu:]
+
+    xu = x[:n_u].reshape(-1, d)
+    xp = x[n_u:]
+    xlu = xu[u_nodes]                                # (n_c, nlu, d)
+    xlp = xp[p_dofs]                                 # (n_c, nlp)
+
+    ylu = (jnp.einsum("ciajb,cjb->cia", Auu, xlu,
+                      preferred_element_type=x.dtype) +
+           jnp.einsum("ciak,ck->cia", Aup, xlp,
+                      preferred_element_type=x.dtype))
+    ylp = (jnp.einsum("ckjb,cjb->ck", Apu, xlu,
+                      preferred_element_type=x.dtype) +
+           jnp.einsum("ckl,cl->ck", App, xlp,
+                      preferred_element_type=x.dtype))
+
+    yu = jnp.zeros((n_u // d, d), dtype=x.dtype).at[
+        u_nodes.reshape(-1)].add(ylu.reshape(-1, d))
+    yp = jnp.zeros(n_p, dtype=x.dtype).at[p_dofs.reshape(-1)].add(
+        ylp.reshape(-1))
+    return jnp.concatenate([yu.reshape(-1), yp])
+
+
+def make_gather_plan(cell_dofs, n_dofs: int):
+    """Per-dof incidence table turning the matvec scatter-add into a
+    static-shape gather + sum.
+
+    TPU scatters with duplicate indices serialize (sort-based lowering);
+    the transpose layout — for each dof, the (<= K) flat (cell, local)
+    positions that contribute to it, padded with a sentinel slot — makes
+    the reduction a dense (n_dofs, K) gather + row sum, which XLA lowers
+    to vectorized loads.  Built once per dof map on the host.
+
+    Returns (incidence (n_dofs, K) int32) indexing into the flattened
+    (n_c * nl + 1,) local-result array whose last slot is zero padding."""
+    cd = np.asarray(cell_dofs).reshape(-1)
+    n_flat = cd.shape[0]
+    order = np.argsort(cd, kind="stable")
+    sorted_dofs = cd[order]
+    counts = np.bincount(cd, minlength=n_dofs)
+    K = int(counts.max()) if n_flat else 1
+    inc = np.full((n_dofs, K), n_flat, dtype=np.int64)  # pad slot
+    starts = np.zeros(n_dofs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    ar = np.arange(n_flat)
+    inc[sorted_dofs, ar - starts[sorted_dofs]] = order
+    return jnp.asarray(inc, dtype=jnp.int32)
+
+
+def element_matvec_gather(A_loc, cell_dofs, plan, x):
+    """y = A x via the gather plan (same result as element_matvec)."""
+    xl = x[cell_dofs]
+    yl = jnp.einsum("cij,cj->ci", A_loc, xl,
+                    preferred_element_type=x.dtype)
+    ylp = jnp.concatenate([yl.reshape(-1),
+                           jnp.zeros((1,), dtype=yl.dtype)])
+    return ylp[plan].sum(axis=1)
+
+
+def element_matvec_rect_gather(A_loc, col_dofs, row_plan, x):
+    """Rectangular block apply via a row-dof gather plan."""
+    xl = x[col_dofs]
+    yl = jnp.einsum("cij,cj->ci", A_loc, xl,
+                    preferred_element_type=x.dtype)
+    ylp = jnp.concatenate([yl.reshape(-1),
+                           jnp.zeros((1,), dtype=yl.dtype)])
+    return ylp[row_plan].sum(axis=1)
+
+
 def element_diag(A_loc, cell_dofs, n_dofs: int):
     nl = A_loc.shape[1]
     d = A_loc[:, jnp.arange(nl), jnp.arange(nl)]

@@ -27,7 +27,9 @@ import numpy as np
 from ...config import real_dtype
 from ...la.krylov import cg, fgmres
 from ...la.operators import (element_diag, element_matvec,
-                             element_matvec_rect, scatter_add)
+                             element_matvec_nodeblock,
+                             element_matvec_rect,
+                             element_matvec_taylor_hood, scatter_add)
 from .base import FluidSolverBase
 
 
@@ -52,6 +54,12 @@ class InsIM(FluidSolverBase):
     f32_matrix = False
     outer_restart = 30
     outer_max_restarts = 40
+    # with geometric multigrid enabled (enable_pressure_mg /
+    # enable_velocity_mg), apply the V-cycles DIRECTLY as the inner
+    # approximate solves instead of wrapping them in inner Krylov loops
+    # (fewer matvecs total; the flexible outer absorbs the inexactness)
+    mg_direct = True
+    a_mg_cycles = 1
     # run the whole block-Schur preconditioner in float32: the outer FGMRES
     # is flexible, so an approximate (low-precision) preconditioner changes
     # only iteration counts, never the converged f64 solution.  On TPU the
@@ -65,6 +73,42 @@ class InsIM(FluidSolverBase):
             "Velocity degree must be one higher than pressure (Taylor-Hood)"
         super().setup()
         self._precompute()
+
+    # ------------------------------------------------------------------
+    def enable_pressure_mg(self, meshes, n_smooth: int = 2):
+        """Attach a geometric V-cycle (la/multigrid.py) as the inner
+        preconditioner of the mass-Schur CG.  `meshes` is the nested
+        refine_global hierarchy, coarsest first, finest == self.mesh.
+
+        The reference's Sm solve is mesh-independent because its A-block
+        uses MUMPS/UMFPACK (source/mpi_insim.cpp:122-127); this restores
+        mesh-independent Sm iteration counts with TPU-friendly batched
+        matvecs.  Preconditioner-only: the converged solution is
+        unchanged (flexible outer, same CG target tolerance)."""
+        from ...la.multigrid import make_pressure_mg
+        assert meshes[-1].n_cells == self.mesh.n_cells, \
+            "finest hierarchy level must be the solver mesh"
+        pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
+        fixed = np.asarray(self.p_constraints.fixed)
+        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt)
+
+    def enable_velocity_mg(self, meshes, n_smooth: int = 2):
+        """Attach a vector V-cycle as the preconditioner of the inner
+        A-block FGMRES — the TPU-native replacement for the reference's
+        MUMPS/UMFPACK direct A-solve (source/mpi_insim.cpp:122-127,
+        include/insim.h:217).  The cycle is built from the symmetric part
+        (rho/dt M + mu K + gamma rho G) once at enable time; convection
+        enters only through the fine-level Krylov operator, so this is a
+        preconditioner choice — the converged update is unchanged."""
+        from ...la.multigrid import make_velocity_mg
+        assert meshes[-1].n_cells == self.mesh.n_cells
+        params = self.params
+        pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
+        fixed = np.asarray(self.u_constraints.fixed)
+        self._velocity_mg = make_velocity_mg(
+            meshes, params.fluid_velocity_degree, self.dim,
+            params.fluid_rho, params.viscosity, params.grad_div,
+            float(self.time.get_delta_t()), fixed, n_smooth, pdt)
 
     # ------------------------------------------------------------------
     def _precompute(self):
@@ -87,6 +131,9 @@ class InsIM(FluidSolverBase):
         self.cell_dofs_u = jnp.asarray(cd[:, :self.nu_loc], dtype=jnp.int32)
         self.cell_dofs_p = jnp.asarray(cd[:, self.nu_loc:] - self.n_u,
                                        dtype=jnp.int32)
+        # velocity NODE table for the node-block matvec layout
+        self.cell_nodes_u = jnp.asarray(self.u_space.cell_dofs,
+                                        dtype=jnp.int32)
 
         # mass matrices for the preconditioner (no rho; reference
         # source/insim.cpp:255-257)
@@ -261,8 +308,19 @@ class InsIM(FluidSolverBase):
         Aup = A_loc[:, :self.nu_loc, self.nu_loc:]
         Apu = A_loc[:, self.nu_loc:, :self.nu_loc]
 
-        op_A = ucons.wrap_operator(lambda x: element_matvec(
-            Auu, self.cell_dofs_u, self.n_u, x))
+        # node-block layout when the solver carries a velocity node table
+        # (the padded dof-sharded proxy in parallel/shard.py does not and
+        # falls back to the flat layout)
+        cn_u = getattr(self, "cell_nodes_u", None)
+        n_c = Auu.shape[0]
+        nlu = self.nu_loc // d
+        if cn_u is not None:
+            Auu_b = Auu.reshape(n_c, nlu, d, nlu, d)
+            op_A = ucons.wrap_operator(lambda x: element_matvec_nodeblock(
+                Auu_b, cn_u, self.n_u // d, x))
+        else:
+            op_A = ucons.wrap_operator(lambda x: element_matvec(
+                Auu, self.cell_dofs_u, self.n_u, x))
         if self.a_block_jacobi:
             # nodal d x d block-Jacobi: the grad-div term couples velocity
             # components, which pointwise Jacobi ignores
@@ -296,17 +354,40 @@ class InsIM(FluidSolverBase):
             def apply_dinv_A(r):
                 return r * dinv_A
 
-        def apply_B(xu):   # u -> p   (condensed)
-            xu = ucons.expand(xu)
-            y = element_matvec_rect(Apu, self.cell_dofs_p, self.cell_dofs_u,
-                                    self.n_p, xu)
-            return pcons.restrict(y) if pcons.any_hanging else y
+        if cn_u is not None:
+            nlp = Apu.shape[1]
+            Apu_b = Apu.reshape(n_c, nlp, nlu, d)
+            Aup_b = Aup.reshape(n_c, nlu, d, nlp)
 
-        def apply_BT(xp):  # p -> u   (condensed)
-            xp = pcons.expand(xp) if pcons.any_hanging else xp
-            y = element_matvec_rect(Aup, self.cell_dofs_u, self.cell_dofs_p,
-                                    self.n_u, xp)
-            return ucons.restrict(y)
+            def apply_B(xu):   # u -> p   (condensed)
+                xu = ucons.expand(xu)
+                xlu = xu.reshape(-1, d)[cn_u]
+                ylp = jnp.einsum("ckjb,cjb->ck", Apu_b, xlu,
+                                 preferred_element_type=xu.dtype)
+                y = jnp.zeros(self.n_p, dtype=xu.dtype).at[
+                    self.cell_dofs_p.reshape(-1)].add(ylp.reshape(-1))
+                return pcons.restrict(y) if pcons.any_hanging else y
+
+            def apply_BT(xp):  # p -> u   (condensed)
+                xp = pcons.expand(xp) if pcons.any_hanging else xp
+                xlp = xp[self.cell_dofs_p]
+                ylu = jnp.einsum("ciak,ck->cia", Aup_b, xlp,
+                                 preferred_element_type=xp.dtype)
+                y = jnp.zeros((self.n_u // d, d), dtype=xp.dtype).at[
+                    cn_u.reshape(-1)].add(ylu.reshape(-1, d))
+                return ucons.restrict(y.reshape(-1))
+        else:
+            def apply_B(xu):   # u -> p   (condensed)
+                xu = ucons.expand(xu)
+                y = element_matvec_rect(Apu, self.cell_dofs_p,
+                                        self.cell_dofs_u, self.n_p, xu)
+                return pcons.restrict(y) if pcons.any_hanging else y
+
+            def apply_BT(xp):  # p -> u   (condensed)
+                xp = pcons.expand(xp) if pcons.any_hanging else xp
+                y = element_matvec_rect(Aup, self.cell_dofs_u,
+                                        self.cell_dofs_p, self.n_u, xp)
+                return ucons.restrict(y)
 
         mu_inv = jnp.where(Mu_diag != 0, 1.0 / Mu_diag, 1.0)
 
@@ -328,6 +409,11 @@ class InsIM(FluidSolverBase):
             Mp_loc, self.cell_dofs_p, self.n_p, x))
         mp_dinv = jnp.where(Mp_diag != 0, 1.0 / Mp_diag, 1.0)
 
+        mg = getattr(self, "_pressure_mg", None)
+        sm_M = mg.vcycle if mg is not None else (lambda r: r * sm_dinv)
+        vmg = getattr(self, "_velocity_mg", None)
+        a_M = vmg.vcycle if vmg is not None else apply_dinv_A
+
         def _apply(v, with_stats):
             out_dtype = v.dtype
             v = v.astype(pdt)
@@ -337,17 +423,35 @@ class InsIM(FluidSolverBase):
             mp = cg(op_Mp, vp, M=lambda r: r * mp_dinv, atol=atol_p,
                     maxiter=self.mp_cg_maxiter)
             tmp = mp.x * (-(nu_visc + gamma * rho))
-            sm = cg(op_Sm, vp, M=lambda r: r * sm_dinv, atol=atol_p,
-                    maxiter=self.schur_cg_maxiter)
-            dst_p = sm.x * (-rho / dt) + tmp
+            if mg is not None and self.mg_direct:
+                # one V-cycle IS the approximate Sm^-1: the outer solver is
+                # FLEXIBLE, so a fixed inexact inner apply only trades
+                # inner for outer iterations (Washio Tpp does the same
+                # with one ILU sweep, source/mpi_supg_solver.cpp:56-133)
+                sm_x, sm_it = mg.vcycle(vp), jnp.zeros((), jnp.int32)
+            else:
+                r = cg(op_Sm, vp, M=sm_M, atol=atol_p,
+                       maxiter=self.schur_cg_maxiter)
+                sm_x, sm_it = r.x, r.iters
+            dst_p = sm_x * (-rho / dt) + tmp
             utmp = vu - apply_BT(dst_p)
-            atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
-            au = fgmres(op_A, utmp, M=apply_dinv_A,
-                        atol=atol_u, restart=self.a_inner_restart,
-                        max_restarts=self.a_inner_restarts)
-            out = jnp.concatenate([au.x, dst_p]).astype(out_dtype)
+            if vmg is not None and self.mg_direct:
+                # a_mg_cycles V-cycles of the frozen symmetric velocity
+                # operator replace the inner FGMRES A-solve (reference:
+                # one exact MUMPS solve, source/mpi_insim.cpp:122-127)
+                au_x = vmg.vcycle(utmp)
+                for _ in range(self.a_mg_cycles - 1):
+                    au_x = au_x + vmg.vcycle(utmp - op_A(au_x))
+                au_it = jnp.zeros((), jnp.int32)
+            else:
+                atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
+                au = fgmres(op_A, utmp, M=a_M,
+                            atol=atol_u, restart=self.a_inner_restart,
+                            max_restarts=self.a_inner_restarts)
+                au_x, au_it = au.x, au.iters
+            out = jnp.concatenate([au_x, dst_p]).astype(out_dtype)
             if with_stats:
-                return out, (mp.iters, sm.iters, au.iters)
+                return out, (mp.iters, sm_it, au_it)
             return out
 
         def precond(v):
@@ -366,6 +470,7 @@ class InsIM(FluidSolverBase):
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
 
+        nlu = self.nu_loc // self.dim
         if self.f32_matrix:
             # inexact Newton: the Jacobian apply runs in f32 (MXU-native)
             # while the assembled residual, Newton criterion and update
@@ -373,12 +478,15 @@ class InsIM(FluidSolverBase):
             A_op = A_loc.astype(jnp.float32)
 
             def apply_A(x):
-                y = element_matvec(A_op, self.cell_dofs, self.n_dofs,
-                                   x.astype(jnp.float32))
+                y = element_matvec_taylor_hood(
+                    A_op, self.cell_nodes_u, self.cell_dofs_p, nlu,
+                    self.dim, self.n_u, self.n_p, x.astype(jnp.float32))
                 return y.astype(x.dtype)
         else:
             def apply_A(x):
-                return element_matvec(A_loc, self.cell_dofs, self.n_dofs, x)
+                return element_matvec_taylor_hood(
+                    A_loc, self.cell_nodes_u, self.cell_dofs_p, nlu,
+                    self.dim, self.n_u, self.n_p, x)
 
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
