@@ -55,10 +55,12 @@ class InsIM(FluidSolverBase):
     outer_restart = 30
     outer_max_restarts = 40
     # with geometric multigrid enabled (enable_pressure_mg /
-    # enable_velocity_mg), apply the V-cycles DIRECTLY as the inner
-    # approximate solves instead of wrapping them in inner Krylov loops
-    # (fewer matvecs total; the flexible outer absorbs the inexactness)
-    mg_direct = True
+    # enable_velocity_mg), optionally apply the V-cycles DIRECTLY as the
+    # inner approximate solves instead of preconditioning the inner Krylov
+    # loops.  Measured on CPU+TPU: the Krylov-wrapped cycles win (the
+    # direct one-cycle A-solve is too weak and outer/Newton counts grow),
+    # so the default keeps the cycles inside CG/FGMRES.
+    mg_direct = False
     a_mg_cycles = 1
     # run the whole block-Schur preconditioner in float32: the outer FGMRES
     # is flexible, so an approximate (low-precision) preconditioner changes

@@ -27,7 +27,8 @@ import numpy as np
 from ...config import real_dtype
 from ...la.krylov import fgmres
 from ...la.operators import (element_diag, element_matvec,
-                             element_matvec_rect, scatter_add)
+                             element_matvec_rect,
+                             element_matvec_taylor_hood, scatter_add)
 from .base import FluidSolverBase
 
 CP_TO_CV = 1.4          # reference: source/mpi_scnsim.cpp:124
@@ -77,6 +78,9 @@ class SUPGFluidSolver(FluidSolverBase):
         self.cell_dofs_u = jnp.asarray(cd[:, :self.nu_loc], dtype=jnp.int32)
         self.cell_dofs_p = jnp.asarray(cd[:, self.nu_loc:] - self.n_u,
                                        dtype=jnp.int32)
+        # velocity NODE table for the node-block matvec layout
+        self.cell_nodes_u = jnp.asarray(self.u_space.cell_dofs,
+                                        dtype=jnp.int32)
 
         g = np.zeros(d)
         g[:len(params.gravity)] = params.gravity[:d]
@@ -186,17 +190,47 @@ class SUPGFluidSolver(FluidSolverBase):
         def Pvv_inverse(x):
             return x * pvv_inv
 
-        def apply_Avp(xp):
-            xp = pcons.expand(xp) if pcons.any_hanging else xp
-            y = element_matvec_rect(Avp, self.cell_dofs_u, self.cell_dofs_p,
-                                    self.n_u, xp)
-            return ucons.restrict(y)
+        # node-block layout when the solver carries a velocity node table
+        # (the padded dof-sharded proxy in parallel/shard.py does not and
+        # falls back to the flat layout)
+        cn_u = getattr(self, "cell_nodes_u", None)
+        if cn_u is not None:
+            d = self.dim
+            n_c = Avv.shape[0]
+            nlu = self.nu_loc // d
+            nlp = Apv.shape[1]
+            Avp_b = Avp.reshape(n_c, nlu, d, nlp)
+            Apv_b = Apv.reshape(n_c, nlp, nlu, d)
 
-        def apply_Apv(xu):
-            xu = ucons.expand(xu)
-            y = element_matvec_rect(Apv, self.cell_dofs_p, self.cell_dofs_u,
-                                    self.n_p, xu)
-            return pcons.restrict(y) if pcons.any_hanging else y
+            def apply_Avp(xp):
+                xp = pcons.expand(xp) if pcons.any_hanging else xp
+                xlp = xp[self.cell_dofs_p]
+                ylu = jnp.einsum("ciak,ck->cia", Avp_b, xlp,
+                                 preferred_element_type=xp.dtype)
+                y = jnp.zeros((self.n_u // d, d), dtype=xp.dtype).at[
+                    cn_u.reshape(-1)].add(ylu.reshape(-1, d))
+                return ucons.restrict(y.reshape(-1))
+
+            def apply_Apv(xu):
+                xu = ucons.expand(xu)
+                xlu = xu.reshape(-1, d)[cn_u]
+                ylp = jnp.einsum("ckjb,cjb->ck", Apv_b, xlu,
+                                 preferred_element_type=xu.dtype)
+                y = jnp.zeros(self.n_p, dtype=xu.dtype).at[
+                    self.cell_dofs_p.reshape(-1)].add(ylp.reshape(-1))
+                return pcons.restrict(y) if pcons.any_hanging else y
+        else:
+            def apply_Avp(xp):
+                xp = pcons.expand(xp) if pcons.any_hanging else xp
+                y = element_matvec_rect(Avp, self.cell_dofs_u,
+                                        self.cell_dofs_p, self.n_u, xp)
+                return ucons.restrict(y)
+
+            def apply_Apv(xu):
+                xu = ucons.expand(xu)
+                y = element_matvec_rect(Apv, self.cell_dofs_p,
+                                        self.cell_dofs_u, self.n_p, xu)
+                return pcons.restrict(y) if pcons.any_hanging else y
 
         op_App = pcons.wrap_operator(lambda x: element_matvec(
             App, self.cell_dofs_p, self.n_p, x))
@@ -250,16 +284,20 @@ class SUPGFluidSolver(FluidSolverBase):
                                     stress_nodal, eddy_nu)
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
+        nlu = self.nu_loc // self.dim
         if self.f32_matrix:
             A_op = A_loc.astype(jnp.float32)
 
             def apply_A(x):
-                y = element_matvec(A_op, self.cell_dofs, self.n_dofs,
-                                   x.astype(jnp.float32))
+                y = element_matvec_taylor_hood(
+                    A_op, self.cell_nodes_u, self.cell_dofs_p, nlu,
+                    self.dim, self.n_u, self.n_p, x.astype(jnp.float32))
                 return y.astype(x.dtype)
         else:
             def apply_A(x):
-                return element_matvec(A_loc, self.cell_dofs, self.n_dofs, x)
+                return element_matvec_taylor_hood(
+                    A_loc, self.cell_nodes_u, self.cell_dofs_p, nlu,
+                    self.dim, self.n_u, self.n_p, x)
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
         atol = self.outer_rtol * res_norm
