@@ -1,12 +1,26 @@
-"""Benchmark: fluid_cylinder (Turek Re=20) InsIM time-stepping throughput.
+"""Benchmark suite: fluid_cylinder (Turek Re=20) at three mesh sizes plus
+the fsi_leaflet coupled case.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+headline case (fluid_cylinder at refine=4, ~214k DoF — the >=1e5-DoF
+production size) and writes BENCH_DETAILS.json with every case's
+throughput and Newton/FGMRES/inner iteration telemetry.
 
-Baseline: the reference's own headline record for this exact configuration —
-tests/fluid_cylinder/fluid_cylinder.cpp:7 reports ~240 s for the 100-step
-serial run (1 CPU rank), i.e. 100 * n_dofs / 240 DoF-steps/s on the same
-mesh/discretization.  We time steady-state steps (post-compile) of the same
-solve to the same Newton tolerance and report MDoF-steps/s.
+Baseline: the reference's only recorded wall-clock for this configuration
+— tests/fluid_cylinder/fluid_cylinder.cpp:7, ~240 s for the 100-step
+serial run at refine=1 (~3.6k DoF) on 1 CPU rank, i.e. 1505 DoF-steps/s.
+DoF-steps/s is size-normalized, and the reference's cost/step grows
+superlinearly with size (direct MUMPS factorizations in the
+preconditioner, source/mpi_insim.cpp:122-127), so holding its refine=1
+throughput as the bar at larger sizes is conservative.
+
+Solver-config notes (all preconditioner-only, converged solutions match
+the all-f64 reference path; validated in tests/test_parallel.py and
+tests/test_supg.py):
+ - f32 block-Schur preconditioner + f32 Jacobian inside f64 FGMRES
+ - Mp/Sm tolerance 1e-1 under the FLEXIBLE outer solve
+ - geometric-multigrid V-cycle on the pressure Schur (la/multigrid.py)
+   for the refine_global hierarchies
 """
 
 import json
@@ -15,68 +29,226 @@ import time
 
 import numpy as np
 
+REF_PRM = "/root/reference/tests/fluid_cylinder/fluid_cylinder.prm"
+REF_DOF_STEPS_PER_S = None   # computed from the refine=1 mesh at runtime
 
-def main():
-    import jax
 
-    from openifem_tpu.mesh import generators
-    from openifem_tpu.parameters import AllParameters
+def _cylinder_bc(points, component):
+    out = np.zeros(len(points))
+    if component == 0:
+        m = np.abs(points[:, 0]) < 1e-10
+        Umax = 0.3
+        out[m] = 4 * Umax * points[m, 1] * (0.41 - points[m, 1]) / 0.41**2
+    return out
+
+
+def _make_solver(meshes, p, velocity_mg=False):
+    import jax.numpy as jnp  # noqa: F401
     from openifem_tpu.solvers.fluid import InsIM
 
-    p = AllParameters.from_file(
-        "/root/reference/tests/fluid_cylinder/fluid_cylinder.prm")
-
-    def bv(points, component):
-        out = np.zeros(len(points))
-        if component == 0:
-            m = np.abs(points[:, 0]) < 1e-10
-            Umax = 0.3
-            out[m] = 4 * Umax * points[m, 1] * (0.41 - points[m, 1]) / 0.41**2
-        return out
-
-    mesh = generators.flow_around_cylinder(2).refine_global(
-        p.global_refinements[0])
-
     class BenchInsIM(InsIM):
-        # f32 preconditioner inside f64 FGMRES: same converged solution
-        # (validated to ~3e-13 relative against the all-f64 path), MXU-native
         mixed_precision_precond = True
-        # looser Mp/Sm tolerance inside the FLEXIBLE outer solve: trades
-        # inner for outer iterations only; the Newton update still converges
-        # to the same max(1e-8 |rhs|, 1e-10) as the reference
-        # (source/insim.cpp:354) and vmax is bit-identical to 9 decimals
         mp_sm_rtol = 1e-1
-        # inexact Newton: f32 Jacobian (assembled and applied in f32, MXU-
-        # native); the f64 assembled residual still gates Newton convergence
         f32_matrix = True
+        a_inner_rtol = 1e-2   # flexible outer absorbs it (measured winner)
 
-    solver = BenchInsIM(mesh, p, bc=bv)
-    solver.setup()
-    solver._setup_done = True
-    n_dofs = solver.n_dofs
+    s = BenchInsIM(meshes[-1], p, bc=_cylinder_bc)
+    s.setup()
+    s._setup_done = True
+    if len(meshes) > 1:
+        s.enable_pressure_mg(meshes)
+        if velocity_mg:
+            s.enable_velocity_mg(meshes)
+    return s
 
-    # apply the (time-independent) BCs once, as the reference's first step
-    solver.run_one_step(True, verbose=False)
-    # fully on-device stepping: one dispatch for the whole timed window
-    stepper = solver.make_on_device_stepper()
-    warmup = 2
-    timed = 10
-    sol, _, _ = stepper(solver.present_solution, warmup)
-    sol.block_until_ready()
+
+def bench_cylinder(refine, timed, velocity_mg=False):
+    """DoF-steps/s of the fully on-device stepper at a refinement level."""
+    import jax.numpy as jnp
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+
+    p = AllParameters.from_file(REF_PRM)
     t0 = time.time()
-    sol, worst_rel, _ = stepper(sol, timed)
+    meshes = [generators.flow_around_cylinder(2)]
+    for _ in range(refine):
+        meshes.append(meshes[-1].refine_global(1))
+    s = _make_solver(meshes, p, velocity_mg)
+    setup_s = time.time() - t0
+
+    t0 = time.time()
+    s.run_one_step(True, verbose=False)   # apply BCs once (reference step 1)
+    first_s = time.time() - t0
+
+    stepper = s.make_on_device_stepper()
+    t0 = time.time()
+    sol, rel, its = stepper(s.present_solution, 2)
+    sol.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    sol, worst_rel, worst_it = stepper(sol, timed)
     sol.block_until_ready()
     elapsed = time.time() - t0
     assert float(worst_rel) < p.fluid_tolerance, \
         f"non-converged step in timed window: rel_res={float(worst_rel)}"
 
-    value = n_dofs * timed / elapsed / 1e6            # MDoF-steps/s
-    baseline = n_dofs * 100 / 240.0 / 1e6             # reference: 240 s/100 steps
+    # iteration telemetry on the stepped state (parity artifact: the
+    # reference prints the same counts per step,
+    # source/mpi_supg_solver.cpp:389-395 / source/mpi_insim.cpp:428-443)
+    s.present_solution = sol
+    A_loc, rhs = s._assemble(sol, sol, s.indicator, s.fsi_acceleration,
+                             s.fsi_stress_cell, s.fsi_acc_nodal)
+    b = s.zero_constraints.condense_rhs(rhs)
+    pre = s._make_preconditioner(A_loc, s.u_constraints, s.p_constraints)
+    _, (mp_i, sm_i, a_i) = pre.stats(b / jnp.linalg.norm(b))
+    du, rn, outer_iters, _ = s._newton_iter(
+        sol, sol, s.indicator, s.fsi_acceleration, s.fsi_stress_cell,
+        s.fsi_acc_nodal, s.zero_constraints, s.u_constraints,
+        s.p_constraints)
+
+    value = s.n_dofs * timed / elapsed / 1e6
+    return {
+        "case": f"fluid_cylinder_r{refine}",
+        "n_dofs": int(s.n_dofs),
+        "n_cells": int(meshes[-1].n_cells),
+        "timed_steps": timed,
+        "ms_per_step": round(elapsed / timed * 1e3, 1),
+        "mdof_steps_per_s": round(value, 6),
+        "newton_iters_per_step": int(worst_it),
+        "outer_fgmres_iters": int(outer_iters),
+        "inner_iters_per_precond_apply": {
+            "mp_cg": int(mp_i), "sm_cg": int(sm_i), "a_fgmres": int(a_i)},
+        "setup_s": round(setup_s, 1),
+        "first_step_s": round(first_s, 1),
+        "stepper_compile_s": round(compile_s, 1),
+        "pressure_mg": refine > 0,
+        "velocity_mg": velocity_mg,
+    }, value
+
+
+def bench_fsi_leaflet(n_steps=20):
+    """fsi_leaflet (north-star #4): full coupled loop throughput,
+    reference configuration (tests/fsi_leaflet/fsi_leaflet.cpp)."""
+    from openifem_tpu.fsi.fsi import FSI
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid import InsIM
+    from openifem_tpu.solvers.solid import HyperElasticity
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fsi_leaflet/fsi_leaflet.prm")
+    L, H, a, b, h, U = 4.0, 1.0, 0.1, 0.4, 0.05, 1.5
+
+    def bv(points, component):
+        out = np.zeros(len(points))
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            out[m] = U - 4 * U / (H * H) * (points[m, 1] - H / 2) ** 2
+        return out
+
+    class BenchInsIM(InsIM):
+        mixed_precision_precond = True
+        mp_sm_rtol = 1e-1
+        f32_matrix = True
+
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
+    centers = fluid_mesh.cell_centers()
+    flags = ((centers[:, 0] >= L / 4 - a) & (centers[:, 0] <= L / 4 + 2 * a)
+             & (centers[:, 1] < H / 2))
+    fluid_mesh = fluid_mesh.refine(flags)
+    fluid = BenchInsIM(fluid_mesh, p, bc=bv)
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [int(a / h), int(b / h)], [L / 4, 0.0], [a + L / 4, b])
+    solid = HyperElasticity(solid_mesh, p)
+
+    warmup = 3
+    p.end_time = (warmup + n_steps) * p.time_step
+    fsi = FSI(fluid, solid, p, use_dirichlet_bc=True)
+
+    # same loop as FSI.run (fsi/fsi.py:246-291), with a timing mark after
+    # the warmup steps (compile amortization)
+    solid.mesh = solid.mesh.refine_global(p.global_refinements[1])
+    solid.setup()
+    fluid.mesh = fluid.mesh.refine_global(p.global_refinements[0])
+    fluid.setup()
+    fsi._setup_coupling()
+    newtons = []
+    first_step = True
+    t0 = time.time()
+    step_i = 0
+    while fsi.time.end() - fsi.time.current() > 1e-12:
+        if step_i == warmup:
+            t0 = time.time()
+        fsi.find_solid_bc()
+        solid.run_one_step(first_step)
+        fsi.update_solid_box_and_indicator()
+        zero_ext, nonzero_ext = fsi.find_fluid_bc(first_step)
+        fluid.run_one_step(True, verbose=False, zero_cons=zero_ext,
+                           nonzero_cons=nonzero_ext)
+        newtons.append(int(getattr(fluid, "newton_iters", 0)))
+        first_step = False
+        fsi.time.increment()
+        step_i += 1
+    elapsed = time.time() - t0
+    n_dofs = fluid.n_dofs + solid.n_dofs
+    value = n_dofs * n_steps / elapsed / 1e6
+    return {
+        "case": "fsi_leaflet",
+        "n_dofs": int(n_dofs),
+        "timed_steps": n_steps,
+        "ms_per_step": round(elapsed / n_steps * 1e3, 1),
+        "mdof_steps_per_s": round(value, 6),
+        "fluid_newton_iters_per_step": newtons[warmup:],
+    }, value
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    details = []
+    headline = None
+
+    def want(name):
+        return only is None or only == name
+
+    r1 = None
+    if want("r1"):
+        r1, _ = bench_cylinder(1, timed=10)
+        details.append(r1)
+    if want("r3"):
+        d, _ = bench_cylinder(3, timed=5)
+        details.append(d)
+    if want("r4"):
+        d, v = bench_cylinder(4, timed=3)
+        details.append(d)
+        headline = (d, v)
+    if want("leaflet"):
+        d, _ = bench_fsi_leaflet()
+        details.append(d)
+
+    # reference baseline: 100 steps / 240 s at refine=1
+    if r1 is not None:
+        ref = r1["n_dofs"] * 100 / 240.0 / 1e6
+    else:
+        ref = 3612 * 100 / 240.0 / 1e6
+    for d in details:
+        d["vs_ref_refine1_dof_throughput"] = round(
+            d["mdof_steps_per_s"] / ref, 3)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump({"baseline_mdof_steps_per_s": round(ref, 6),
+                   "cases": details}, f, indent=1)
+    for d in details:
+        print(json.dumps(d), file=sys.stderr)
+
+    if headline is None:   # partial run: report the last case
+        headline = (details[-1], details[-1]["mdof_steps_per_s"])
+    d, v = headline
     print(json.dumps({
-        "metric": "fluid_cylinder_insim_throughput",
-        "value": round(value, 6),
+        "metric": f"{d['case']}_insim_throughput",
+        "value": round(v, 6),
         "unit": "MDoF-steps/s",
-        "vs_baseline": round(value / baseline, 3),
+        "vs_baseline": round(v / ref, 3),
     }))
 
 

@@ -210,7 +210,9 @@ def make_cell_hash(n_cells: int, dims, span: int, K: int,
                       dims_arr - 1).astype(jnp.int64)
         b = b0[:, None, :] + offsets[None, :, :]      # (n_c, span**d, d)
         valid = jnp.all(b <= b1[:, None, :], axis=-1)
-        bin_id = jnp.einsum("cod,d->co", b, strides)
+        # multiply+sum, NOT einsum/@: an s64 dot_general has no TPU
+        # lowering (XLA X64 rewriting is unimplemented for integer dots)
+        bin_id = (b * strides[None, None, :]).sum(axis=-1)
         cell_id = jnp.arange(n_cells, dtype=jnp.int64)[:, None]
         keys = jnp.where(valid, bin_id * n_cells + cell_id, BIG)
         sorted_keys = jnp.sort(keys.reshape(-1))
@@ -221,7 +223,7 @@ def make_cell_hash(n_cells: int, dims, span: int, K: int,
         n_p = points.shape[0]
         pb = jnp.clip(jnp.floor((points - dom_lo) * inv_bin), 0,
                       dims_arr - 1).astype(jnp.int64)
-        pid = pb @ strides                                   # (n_p,)
+        pid = (pb * strides[None, :]).sum(axis=-1)           # (n_p,)
         start = jnp.searchsorted(sorted_keys, pid * n_cells, side="left")
         take = jnp.clip(start[:, None] + jnp.arange(K), 0,
                         sorted_keys.shape[0] - 1)

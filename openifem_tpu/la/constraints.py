@@ -72,19 +72,23 @@ class Constraints:
 
     def expand(self, x):
         """Homogeneous prolongation P x: hanging dofs from masters, Dirichlet
-        dofs zeroed (used inside the condensed operator)."""
+        dofs zeroed (used inside the condensed operator).  Dtype-preserving
+        (hang_w is f64; the mixed-precision preconditioner passes f32)."""
         x = jnp.where(self.dirichlet, 0.0, x)
         if self.any_hanging:
-            xm = (x[self.hang_idx] * self.hang_w).sum(axis=1)
+            w = self.hang_w.astype(x.dtype)
+            xm = (x[self.hang_idx] * w).sum(axis=1)
             x = jnp.where(self.hanging, xm, x)
         return x
 
     def restrict(self, y):
-        """P^T y: accumulate hanging rows into masters, zero constrained."""
+        """P^T y: accumulate hanging rows into masters, zero constrained.
+        Dtype-preserving."""
         if self.any_hanging:
+            w = self.hang_w.astype(y.dtype)
             contrib = jnp.where(self.hanging, y, 0.0)
             add = jnp.zeros_like(y).at[self.hang_idx.reshape(-1)].add(
-                (contrib[:, None] * self.hang_w).reshape(-1))
+                (contrib[:, None] * w).reshape(-1))
             y = y + add
         return jnp.where(self.fixed, 0.0, y)
 

@@ -255,7 +255,7 @@ class SUPGFluidSolver(FluidSolverBase):
         b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
                              1.0)
 
-        def precond(v):
+        def _apply(v, with_stats):
             out_dtype = v.dtype
             v = v.astype(pdt)
             vu, vp = v[:self.n_u], v[self.n_u:]
@@ -267,12 +267,23 @@ class SUPGFluidSolver(FluidSolverBase):
             alpha = jnp.where(denom != 0, jnp.vdot(ptmp, c) / denom, 0.0)
             x0 = alpha * c
             atol = 1e-3 * jnp.linalg.norm(ptmp)
-            dst_p = fgmres(Tpp, ptmp, x0=x0, M=lambda r: r * b2pp_inv,
-                           atol=atol, restart=self.tpp_restart,
-                           max_restarts=self.tpp_max_restarts).x
+            tpp = fgmres(Tpp, ptmp, x0=x0, M=lambda r: r * b2pp_inv,
+                         atol=atol, restart=self.tpp_restart,
+                         max_restarts=self.tpp_max_restarts)
+            dst_p = tpp.x
             dst_u = Pvv_inverse(vu) - Pvv_inverse(apply_Avp(dst_p))
-            return jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
+            out = jnp.concatenate([dst_u, dst_p]).astype(out_dtype)
+            if with_stats:
+                return out, tpp.iters
+            return out
 
+        def precond(v):
+            return _apply(v, False)
+
+        # telemetry twin: (result, tpp_gmres_iters) per apply — the
+        # reference prints the same count per outer iteration
+        # (source/mpi_supg_solver.cpp:184-190)
+        precond.stats = lambda v: _apply(v, True)
         return precond
 
     # ------------------------------------------------------------------
