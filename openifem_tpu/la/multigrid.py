@@ -78,6 +78,30 @@ def prolongation_table(coarse_space: FESpace, fine_space: FESpace):
     return parent, W
 
 
+def geometric_prolongation_table(coarse_space: FESpace,
+                                 fine_space: FESpace, tol: float = 1e-9):
+    """(cells, W) like prolongation_table, but located geometrically via
+    the uniform-grid cell hash — valid for ANY coarse/fine mesh pair whose
+    fine nodes lie inside the coarse mesh, e.g. locally refined
+    (hanging-node) meshes where the exact-topology tables don't apply."""
+    import jax.numpy as jnp_  # local: host-side setup only
+
+    from ..config import real_dtype
+    from ..fsi.interp import make_cell_hash, plan_cell_hash
+
+    cm = coarse_space.mesh
+    verts = cm.vertices[cm.cells]
+    dims, span, K = plan_cell_hash(verts, tol=tol)
+    build, locate = make_cell_hash(cm.n_cells, dims, span, K, tol=tol)
+    pts = jnp_.asarray(fine_space.node_points, dtype=real_dtype())
+    idx, unit, found = locate(build(jnp_.asarray(verts,
+                                                 dtype=real_dtype())), pts)
+    assert bool(jnp_.all(found)), \
+        "fine node outside the coarse mesh (non-nested hierarchy)"
+    W, _ = coarse_space.shapes.evaluate(np.asarray(unit))
+    return np.asarray(idx, dtype=np.int64), W
+
+
 def node_injection_table(coarse_space: FESpace, fine_space: FESpace):
     """For each coarse node, the fine node at the same support point.
 
@@ -216,8 +240,14 @@ class GeometricMG:
         L = len(levels)
         self.P = []           # (coarse node table (n_f, nlc), weights) / gap
         for i in range(L - 1):
-            cells, W = prolongation_table(levels[i].space,
-                                          levels[i + 1].space)
+            try:
+                cells, W = prolongation_table(levels[i].space,
+                                              levels[i + 1].space)
+            except AssertionError:
+                # non-full refinement (local/hanging-node meshes): locate
+                # fine nodes in the coarse mesh geometrically
+                cells, W = geometric_prolongation_table(
+                    levels[i].space, levels[i + 1].space)
             cd = np.asarray(levels[i].space.cell_dofs)[cells]  # (n_f, nlc)
             self.P.append((jnp.asarray(cd, dtype=jnp.int32),
                            jnp.asarray(W, dtype=dtype)))

@@ -9,17 +9,28 @@ block's local vectors, runs one batched MXU contraction, and accumulates
 the scattered result (the TPU grid is sequential per core, so the
 accumulation is race-free).
 
-STATUS (jax 0.8 Mosaic, 2026-08): the kernel is correct (validated in
-interpret mode and used by tests) but does NOT lower to real TPU —
-Mosaic's gather support is restricted to take_along_axis-style batched
-lane/sublane lookups (`jax/_src/pallas/mosaic/lowering.py:
-_gather_lowering_rule`, "Only 2D gather is supported" + fixed dimension
-numbers), which cannot express an arbitrary dof gather without
-broadcasting the dof vector across all 128 lanes (a ~38x compute waste at
-our sizes).  XLA's native fused gather->dot->scatter lowering is the
-better TPU program today, so the production path (`la/operators.py`)
-stays on XLA; this kernel documents the fused design and is ready to be
-enabled when Mosaic grows arbitrary-gather support.
+STATUS (re-checked on jax 0.9 Mosaic + TPU v5e, 2026-08, round 2): the
+kernel is correct (validated in interpret mode and used by tests) but
+still does NOT lower to real TPU — Mosaic raises "Only 2D gather is
+supported" (`jax/_src/pallas/mosaic/lowering.py:_gather_lowering_rule`):
+only take_along_axis-style batched lane/sublane lookups are expressible,
+not an arbitrary dof gather (short of broadcasting the dof vector across
+all 128 lanes, a ~38x compute waste at our sizes).
+
+DECISION + measurements that justify the XLA path (v5e, Turek cylinder
+refine=3: 5888 cells, Q2-vector blocks (5888, 18, 18), 48k dofs, f32):
+  flat gather -> batched einsum -> scatter-add   1.60 ms
+    (gather 0.85 ms / einsum 0.23 ms / scatter 1.13 ms — index traffic
+     bound, not FLOPs)
+  node-block layout (element_matvec_nodeblock)   0.72 ms   <- production
+  per-dof incidence gather-plan (no scatter)     4.8 ms    (slower: the
+     (n_dofs, K) random gather costs more than XLA's sorted scatter)
+  sorted segment_sum                             2.5 ms
+The production path (`la/operators.py`) therefore stays on XLA with the
+node-block layout; this kernel documents the fused VMEM-resident design
+and is ready to be enabled when Mosaic grows arbitrary-gather support
+(the dof vector fits VMEM comfortably at these sizes, so a true fused
+kernel would make the gather ~VMEM-latency bound).
 """
 
 from __future__ import annotations
