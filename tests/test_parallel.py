@@ -322,3 +322,39 @@ def test_geometric_mg_preconditioners_match_plain():
     assert np.abs(u1 - u0).max() < 1e-6 * scale
     assert a1 < a0      # velocity V-cycle beats Jacobi
     assert sm1 <= sm0   # pressure V-cycle beats diagonal scaling
+
+
+def test_geometric_mg_on_locally_refined_mesh():
+    """The V-cycle's geometric prolongation fallback handles hanging-node
+    (locally refined) hierarchies: MG-preconditioned CG on the pressure
+    Laplacian of a leaflet-style mesh converges in far fewer iterations
+    than Jacobi and to the same solution."""
+    import jax.numpy as jnp
+    from openifem_tpu.fe.space import FESpace
+    from openifem_tpu.la.krylov import cg
+    from openifem_tpu.la.multigrid import GeometricMG, laplacian_levels
+    from openifem_tpu.mesh import generators
+
+    base = generators.subdivided_hyper_rectangle(
+        [16, 8], [0.0, 0.0], [2.0, 1.0])
+    c = base.cell_centers()
+    fine = base.refine((c[:, 0] > 0.5) & (c[:, 0] < 1.0))
+    sp = FESpace(fine, 1)
+    fixed = np.zeros(sp.n_nodes, dtype=bool)
+    for nodes in sp.boundary_node_map().values():
+        fixed[nodes] = True
+    # hanging nodes are identity rows too (as in the condensed operator)
+    for slave, _, _ in sp.hanging:
+        fixed[slave] = True
+
+    levels = laplacian_levels([base, fine], 1, fixed, dtype=jnp.float64)
+    mg = GeometricMG(levels, n_smooth=2, dtype=jnp.float64)
+    lv = levels[-1]
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(np.where(fixed, 0.0, rng.standard_normal(sp.n_nodes)))
+    res_j = cg(lv.matvec, b, M=lambda r: r * lv.dinv, atol=1e-10,
+               maxiter=2000)
+    res_m = cg(lv.matvec, b, M=mg.vcycle, atol=1e-10, maxiter=2000)
+    assert int(res_m.iters) < int(res_j.iters) // 2
+    scale = max(1.0, float(jnp.abs(res_j.x).max()))
+    assert float(jnp.abs(res_m.x - res_j.x).max()) < 1e-8 * scale
