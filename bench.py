@@ -264,6 +264,14 @@ def bench_fsi_wall_3d(n_steps=5):
 
 
 def main():
+    import os
+    import tempfile
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAILS.json")
+    # run loops write VTU/PVD/checkpoints at configured intervals; keep
+    # those out of the repository
+    os.chdir(tempfile.mkdtemp(prefix="bench_"))
+
     only = sys.argv[1] if len(sys.argv) > 1 else None
     details = []
     headline = None
@@ -299,7 +307,7 @@ def main():
         d["vs_ref_refine1_dof_throughput"] = round(
             d["mdof_steps_per_s"] / ref, 3)
 
-    with open("BENCH_DETAILS.json", "w") as f:
+    with open(details_path, "w") as f:
         json.dump({"baseline_mdof_steps_per_s": round(ref, 6),
                    "cases": details}, f, indent=1)
     for d in details:
