@@ -214,27 +214,38 @@ class MPIFSI(FSI):
         # twice — replicated exactly (reference: source/mpi_fsi.cpp:903-954).
         # Batched: verts (P,) / normals (P, d) flat pair tables, penetration
         # and traction accumulation as one masked scatter-add per retry.
-        fv = solid.fv
-        smesh = np.asarray(solid.mesh.cells)
-        fvidx = np.asarray(FACE_VERTICES[d])[np.asarray(fv.faces)]  # (F,vpf)
-        verts = smesh[np.asarray(fv.cells)[:, None], fvidx].reshape(-1)
-        normals0 = np.asarray(fv.normals)[:, 0, :]                  # (F,d)
-        nrm = jnp.asarray(np.repeat(normals0, fvidx.shape[1], axis=0))
-        verts_j = jnp.asarray(verts, dtype=jnp.int32)
-        dirn_j = jnp.asarray(dirn, dtype=real_dtype())
+        # Tables + kernel are mesh-only, cached across time steps (a fresh
+        # @jax.jit closure per call would retrace every step).
+        cache_key = id(solid.mesh)
+        if getattr(self, "_contact_cache_key", None) != cache_key:
+            fv = solid.fv
+            smesh = np.asarray(solid.mesh.cells)
+            fvidx = np.asarray(FACE_VERTICES[d])[np.asarray(fv.faces)]
+            verts = smesh[np.asarray(fv.cells)[:, None], fvidx].reshape(-1)
+            normals0 = np.asarray(fv.normals)[:, 0, :]              # (F,d)
+            nrm = jnp.asarray(np.repeat(normals0, fvidx.shape[1], axis=0))
+            verts_j = jnp.asarray(verts, dtype=jnp.int32)
+            dirn_j = jnp.asarray(dirn, dtype=real_dtype())
 
-        @jax.jit
-        def _add_contact_traction(rows, pen):
-            # extra[p, :, d-1] = force * pen[p] * dirn / nrm[p] where the
-            # normal component is usable (reference: mpi_fsi.cpp:929-948)
-            active = pen > 1e-5
-            traction = force_increment * pen[:, None] * dirn_j[None, :]
-            col = jnp.where(nrm > 1e-5, traction / jnp.where(
-                nrm > 1e-5, nrm, 1.0), 0.0)          # (P, d)
-            col = jnp.where(active[:, None], col, 0.0)
-            extra = jnp.zeros(col.shape + (d,),
-                              dtype=rows.dtype).at[..., d - 1].set(col)
-            return rows.at[verts_j].add(extra), jnp.any(active)
+            @jax.jit
+            def _add_contact_traction(rows, pen):
+                # extra[p, :, d-1] = force * pen[p] * dirn / nrm[p] where
+                # the normal component is usable (mpi_fsi.cpp:929-948)
+                active = pen > 1e-5
+                traction = (force_increment * pen[:, None] *
+                            dirn_j[None, :])
+                col = jnp.where(nrm > 1e-5, traction / jnp.where(
+                    nrm > 1e-5, nrm, 1.0), 0.0)      # (P, d)
+                col = jnp.where(active[:, None], col, 0.0)
+                extra = jnp.zeros(col.shape + (d,),
+                                  dtype=rows.dtype).at[..., d - 1].set(col)
+                return rows.at[verts_j].add(extra), jnp.any(active)
+
+            self._contact_cache_key = cache_key
+            self._contact_verts = verts
+            self._contact_kernel = _add_contact_traction
+        verts = self._contact_verts
+        _add_contact_traction = self._contact_kernel
 
         while True:
             solid.run_one_step(first_step)
@@ -258,11 +269,22 @@ class MPIFSI(FSI):
         per-step loop; interface refinement at `Refinement interval` and
         coordinated checkpoints at `Save interval`."""
         params = self.params
-        self.solid.mesh = self.solid.mesh.refine_global(
-            params.global_refinements[1])
-        # Try load from previous computation (mpi_fsi.cpp:1127-1133)
-        success_load = self.solid.load_checkpoint() and \
-            self.fluid.load_checkpoint()
+        # Try load from previous computation (mpi_fsi.cpp:1127-1133).
+        # solid.load_checkpoint applies the solid global refinement itself
+        # (solid/base.py load path), so do NOT pre-refine here.  A partial
+        # pair (one checkpoint present, the other missing/mismatched) is a
+        # loud error, matching the reference's unconditional AssertThrow
+        # (mpi_fsi.cpp:1130-1134) — silently falling back to a fresh start
+        # would leave the loaded solver's time/state advanced.
+        solid_loaded = self.solid.load_checkpoint()
+        fluid_loaded = self.fluid.load_checkpoint()
+        if solid_loaded != fluid_loaded:
+            raise RuntimeError(
+                "Inconsistent restart files: solid checkpoint "
+                f"{'found' if solid_loaded else 'missing'} but fluid "
+                f"checkpoint {'found' if fluid_loaded else 'missing'}. "
+                "Check and remove inconsistent restart files!")
+        success_load = solid_loaded
         if success_load:
             assert abs(self.solid.time.current() -
                        self.fluid.time.current()) < 1e-12, (
@@ -271,6 +293,8 @@ class MPIFSI(FSI):
             while self.time.get_timestep() < self.solid.time.get_timestep():
                 self.time.increment()
         else:
+            self.solid.mesh = self.solid.mesh.refine_global(
+                params.global_refinements[1])
             self.solid.setup()
             self.fluid.mesh = self.fluid.mesh.refine_global(
                 params.global_refinements[0])

@@ -57,6 +57,30 @@ def element_matvec_nodeblock(Ab, cell_nodes, n_nodes: int, x):
     return y.reshape(-1)
 
 
+def element_matvec_p_to_u_nodeblock(Aup_b, u_nodes, p_dofs,
+                                    n_u_nodes: int, xp):
+    """y_u = Aup x_p with the velocity side in node-block layout.
+    Aup_b: (n_c, nlu, d, nlp); returns the flat interleaved u vector."""
+    d = Aup_b.shape[2]
+    xlp = xp[p_dofs]
+    ylu = jnp.einsum("ciak,ck->cia", Aup_b, xlp,
+                     preferred_element_type=xp.dtype)
+    y = jnp.zeros((n_u_nodes, d), dtype=xp.dtype).at[
+        u_nodes.reshape(-1)].add(ylu.reshape(-1, d))
+    return y.reshape(-1)
+
+
+def element_matvec_u_to_p_nodeblock(Apu_b, u_nodes, p_dofs, n_p: int, xu):
+    """y_p = Apu x_u with the velocity side in node-block layout.
+    Apu_b: (n_c, nlp, nlu, d); xu: flat interleaved u vector."""
+    d = Apu_b.shape[3]
+    xlu = xu.reshape(-1, d)[u_nodes]
+    ylp = jnp.einsum("ckjb,cjb->ck", Apu_b, xlu,
+                     preferred_element_type=xu.dtype)
+    return jnp.zeros(n_p, dtype=xu.dtype).at[p_dofs.reshape(-1)].add(
+        ylp.reshape(-1))
+
+
 def element_matvec_taylor_hood(A_loc, u_nodes, p_dofs, nlu: int, d: int,
                                n_u: int, n_p: int, x):
     """Full coupled [u | p] matvec with the velocity part in node-block

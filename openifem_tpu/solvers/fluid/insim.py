@@ -28,7 +28,9 @@ from ...config import real_dtype
 from ...la.krylov import cg, fgmres
 from ...la.operators import (element_diag, element_matvec,
                              element_matvec_nodeblock,
+                             element_matvec_p_to_u_nodeblock,
                              element_matvec_rect,
+                             element_matvec_u_to_p_nodeblock,
                              element_matvec_taylor_hood, scatter_add)
 from .base import FluidSolverBase
 
@@ -90,6 +92,10 @@ class InsIM(FluidSolverBase):
         from ...la.multigrid import make_pressure_mg
         assert meshes[-1].n_cells == self.mesh.n_cells, \
             "finest hierarchy level must be the solver mesh"
+        assert self.params.fluid_pressure_degree == 1, (
+            "pressure V-cycle assumes a Q1 pressure space (node-id-prefix "
+            "mask restriction); got degree "
+            f"{self.params.fluid_pressure_degree}")
         pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
         fixed = np.asarray(self.p_constraints.fixed)
         self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt)
@@ -363,21 +369,15 @@ class InsIM(FluidSolverBase):
 
             def apply_B(xu):   # u -> p   (condensed)
                 xu = ucons.expand(xu)
-                xlu = xu.reshape(-1, d)[cn_u]
-                ylp = jnp.einsum("ckjb,cjb->ck", Apu_b, xlu,
-                                 preferred_element_type=xu.dtype)
-                y = jnp.zeros(self.n_p, dtype=xu.dtype).at[
-                    self.cell_dofs_p.reshape(-1)].add(ylp.reshape(-1))
+                y = element_matvec_u_to_p_nodeblock(
+                    Apu_b, cn_u, self.cell_dofs_p, self.n_p, xu)
                 return pcons.restrict(y) if pcons.any_hanging else y
 
             def apply_BT(xp):  # p -> u   (condensed)
                 xp = pcons.expand(xp) if pcons.any_hanging else xp
-                xlp = xp[self.cell_dofs_p]
-                ylu = jnp.einsum("ciak,ck->cia", Aup_b, xlp,
-                                 preferred_element_type=xp.dtype)
-                y = jnp.zeros((self.n_u // d, d), dtype=xp.dtype).at[
-                    cn_u.reshape(-1)].add(ylu.reshape(-1, d))
-                return ucons.restrict(y.reshape(-1))
+                y = element_matvec_p_to_u_nodeblock(
+                    Aup_b, cn_u, self.cell_dofs_p, self.n_u // d, xp)
+                return ucons.restrict(y)
         else:
             def apply_B(xu):   # u -> p   (condensed)
                 xu = ucons.expand(xu)

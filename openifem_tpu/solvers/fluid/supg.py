@@ -27,7 +27,9 @@ import numpy as np
 from ...config import real_dtype
 from ...la.krylov import fgmres
 from ...la.operators import (element_diag, element_matvec,
+                             element_matvec_p_to_u_nodeblock,
                              element_matvec_rect,
+                             element_matvec_u_to_p_nodeblock,
                              element_matvec_taylor_hood, scatter_add)
 from .base import FluidSolverBase
 
@@ -204,20 +206,14 @@ class SUPGFluidSolver(FluidSolverBase):
 
             def apply_Avp(xp):
                 xp = pcons.expand(xp) if pcons.any_hanging else xp
-                xlp = xp[self.cell_dofs_p]
-                ylu = jnp.einsum("ciak,ck->cia", Avp_b, xlp,
-                                 preferred_element_type=xp.dtype)
-                y = jnp.zeros((self.n_u // d, d), dtype=xp.dtype).at[
-                    cn_u.reshape(-1)].add(ylu.reshape(-1, d))
-                return ucons.restrict(y.reshape(-1))
+                y = element_matvec_p_to_u_nodeblock(
+                    Avp_b, cn_u, self.cell_dofs_p, self.n_u // d, xp)
+                return ucons.restrict(y)
 
             def apply_Apv(xu):
                 xu = ucons.expand(xu)
-                xlu = xu.reshape(-1, d)[cn_u]
-                ylp = jnp.einsum("ckjb,cjb->ck", Apv_b, xlu,
-                                 preferred_element_type=xu.dtype)
-                y = jnp.zeros(self.n_p, dtype=xu.dtype).at[
-                    self.cell_dofs_p.reshape(-1)].add(ylp.reshape(-1))
+                y = element_matvec_u_to_p_nodeblock(
+                    Apv_b, cn_u, self.cell_dofs_p, self.n_p, xu)
                 return pcons.restrict(y) if pcons.any_hanging else y
         else:
             def apply_Avp(xp):

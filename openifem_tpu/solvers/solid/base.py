@@ -238,6 +238,10 @@ class SolidSolverBase:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[1])
             self.setup()
+        assert data["displacement"].shape == (self.n_dofs,), (
+            f"solid checkpoint has {data['displacement'].shape[0]} dofs "
+            f"but the mesh has {self.n_dofs} — refinement state mismatch "
+            "(was the mesh refined before load_checkpoint?)")
         rdt = real_dtype()
         self.current_displacement = jnp.asarray(data["displacement"],
                                                 dtype=rdt)

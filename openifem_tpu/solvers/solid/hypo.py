@@ -307,6 +307,9 @@ class HypoElasticity:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[1])
             self.setup()
+        assert data["x"].shape == (self.n_p, self.dim), (
+            f"RKPM checkpoint has {data['x'].shape} particles but the mesh "
+            f"has {(self.n_p, self.dim)} — refinement state mismatch")
         rdt = real_dtype()
         self.x = jnp.asarray(data["x"], dtype=rdt)
         self.v = jnp.asarray(data["v"], dtype=rdt)
@@ -339,14 +342,17 @@ class SharedHypoElasticity(HypoElasticity):
                  hdx: float = 1.3):
         super().__init__(mesh, params)
         self._dx = dx
+        self._hdx = hdx
         self.h_factor = hdx
 
     def setup(self):
         if self._dx is not None:
-            # smoothing length h = hdx * dx, matching the reference ctor
+            # smoothing length h = hdx * dx, matching the reference ctor.
+            # Recomputed from the stored hdx so a repeated setup() (e.g.
+            # after a checkpoint load) does not compound the scaling.
             d = self.dim
             mean_diam = float(np.mean(self.mesh.cell_diameters()))
-            self.h_factor = self.h_factor * self._dx * np.sqrt(d) / mean_diam
+            self.h_factor = self._hdx * self._dx * np.sqrt(d) / mean_diam
         super().setup()
         from .shared import SharedSolidMixin
         self._setup_shared_faces = SharedSolidMixin._setup_shared_faces.\

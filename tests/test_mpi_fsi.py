@@ -386,3 +386,73 @@ def test_fsi_rkpm_2d_truncated():
     assert np.isfinite(u).all()
     assert np.asarray(fluid.indicator).sum() > 0      # wall covered
     assert np.isfinite(np.asarray(solid.current_displacement)).all()
+
+
+def test_mpi_fsi_restart_with_solid_refinement():
+    """Restart when `Global refinements` includes a solid level: the solid
+    mesh must be refined exactly once (load_checkpoint applies it), not
+    once by run() and again by the load — previously the checkpoint
+    vectors landed on a doubly-refined mesh."""
+    def build(n_steps):
+        p = AllParameters.from_file(
+            f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+        dt = p.time_step
+        p.end_time = n_steps * dt
+        p.save_interval = 2 * dt
+        p.global_refinements = [0, 1]
+        fluid_mesh = generators.subdivided_hyper_rectangle(
+            [20, 10], [0.0, 0.0], [2.0, 1.0])
+        solid_mesh = generators.subdivided_hyper_rectangle(
+            [3, 3], [0.0, 0.0], [1.0, 1.02])
+        solid_mesh.vertices = solid_mesh.vertices + np.array([0.25, 0.0])
+        fluid = SCnsIM(fluid_mesh, p)
+        solid = SharedLinearElasticity(solid_mesh, p)
+        return MPIFSI(fluid, solid, p), fluid, solid
+
+    import glob
+    import os
+    for f in glob.glob("*.checkpoint.npz"):
+        os.remove(f)
+    fsi, fluid, solid = build(4)
+    fsi.run(verbose=False)
+    ref_d = np.asarray(solid.current_displacement)
+
+    # interrupted at the step-2 save, then restarted
+    for f in glob.glob("*.checkpoint.npz"):
+        os.remove(f)
+    fsi1, _, _ = build(2)
+    fsi1.run(verbose=False)
+    fsi2, fluid2, solid2 = build(4)
+    fsi2.run(verbose=False)
+    d2 = np.asarray(solid2.current_displacement)
+    assert d2.shape == ref_d.shape
+    assert np.abs(d2 - ref_d).max() < 1e-10 * max(1.0, np.abs(ref_d).max())
+
+
+def test_mpi_fsi_partial_restart_is_loud():
+    """A lone solid checkpoint without its fluid twin aborts (reference:
+    unconditional AssertThrow, source/mpi_fsi.cpp:1130-1134) instead of
+    silently starting fresh with advanced solid state."""
+    import glob
+    import os
+    p = AllParameters.from_file(
+        f"{REF}/fsi_contact_model_mpi/fsi_contact_model_mpi.prm")
+    p.end_time = 2 * p.time_step
+    p.save_interval = p.time_step
+    fluid_mesh = generators.subdivided_hyper_rectangle(
+        [10, 5], [0.0, 0.0], [2.0, 1.0])
+    solid_mesh = generators.subdivided_hyper_rectangle(
+        [3, 3], [0.0, 0.0], [1.0, 1.02])
+    fluid = SCnsIM(fluid_mesh, p)
+    solid = SharedLinearElasticity(solid_mesh, p)
+    fsi = MPIFSI(fluid, solid, p)
+    fsi.run(verbose=False)
+    for f in glob.glob("fluid-*.checkpoint.npz"):
+        os.remove(f)
+    fluid2 = SCnsIM(generators.subdivided_hyper_rectangle(
+        [10, 5], [0.0, 0.0], [2.0, 1.0]), p)
+    solid2 = SharedLinearElasticity(generators.subdivided_hyper_rectangle(
+        [3, 3], [0.0, 0.0], [1.0, 1.02]), p)
+    fsi2 = MPIFSI(fluid2, solid2, p)
+    with pytest.raises(RuntimeError, match="Inconsistent restart"):
+        fsi2.run(verbose=False)
