@@ -49,25 +49,36 @@ def kelly_estimate(space, solution, n_components: int = 1,
         fv_tab = FACE_VERTICES[dim]
         centers = mesh.cell_centers()
         lev = mesh.level
-        orphan_cells = sorted({c for c, _ in orphans})
-        for (c, f) in orphans:
-            fverts = mesh.vertices[mesh.cells[c][list(fv_tab[f])]]
-            x = fverts.mean(axis=0)
-            probe = x + 0.1 * (x - centers[c])
-            for c2 in orphan_cells:
-                if c2 == c or lev[c2] >= lev[c]:
+        orphan_cells = np.array(sorted({c for c, _ in orphans}))
+        orph_c = np.array([c for c, _ in orphans])
+        fverts = mesh.vertices[
+            mesh.cells[orph_c[:, None],
+                       np.array([list(fv_tab[f]) for _, f in orphans])]]
+        x = fverts.mean(axis=1)                       # (n_o, dim)
+        probes = x + 0.1 * (x - centers[orph_c])
+        # candidate filter (bbox + strictly coarser + not self), then ONE
+        # batched bilinear inversion over all surviving (probe, cell)
+        # pairs instead of a device call per pair
+        v2 = mesh.vertices[mesh.cells[orphan_cells]]  # (n_cand, 2^d, d)
+        lo, hi = v2.min(axis=1), v2.max(axis=1)
+        inbox = ((probes[:, None, :] >= lo[None] - 1e-12).all(-1) &
+                 (probes[:, None, :] <= hi[None] + 1e-12).all(-1))
+        mask = (inbox & (lev[orphan_cells][None, :] < lev[orph_c][:, None])
+                & (orphan_cells[None, :] != orph_c[:, None]))
+        oi, cj = np.nonzero(mask)
+        if len(oi):
+            unit = np.asarray(invert_bilinear(
+                jnp.asarray(probes[oi], dtype=real_dtype()),
+                jnp.asarray(v2[cj], dtype=real_dtype())))
+            ok = ((unit > -1e-8).all(-1) & (unit < 1 + 1e-8).all(-1))
+            taken = set()
+            for t in np.nonzero(ok)[0]:
+                o = int(oi[t])
+                if o in taken:
                     continue
-                v2 = mesh.vertices[mesh.cells[c2]]
-                lo, hi = v2.min(axis=0), v2.max(axis=0)
-                if np.any(probe < lo - 1e-12) or np.any(probe > hi + 1e-12):
-                    continue
-                unit = np.asarray(invert_bilinear(
-                    jnp.asarray(probe[None], dtype=real_dtype()),
-                    jnp.asarray(v2[None], dtype=real_dtype())))[0]
-                if np.all(unit > -1e-8) and np.all(unit < 1 + 1e-8):
-                    side_a.append((c, f))
-                    cells_b_list.append(c2)
-                    break
+                taken.add(o)
+                side_a.append(orphans[o])
+                cells_b_list.append(int(orphan_cells[cj[t]]))
 
     if not side_a:
         return np.zeros(mesh.n_cells)

@@ -97,6 +97,7 @@ class FSI:
         sdims, sspan, sK = plan_cell_hash(smesh.vertices[smesh.cells],
                                           safety=2.0)
         self._solid_hash = make_cell_hash(smesh.n_cells, sdims, sspan, sK)
+        self._solid_hash_plan = (sdims, sspan, sK)
 
         self._kernels = _FSIKernels(self)
 
@@ -111,8 +112,19 @@ class FSI:
         """reference: source/fsi.cpp:64-165."""
         k = self._kernels
         moved = self._solid_moved_verts()
+        self._check_solid_hash_capacity(moved)
         indicator = k.indicator(moved)
         self.fluid.indicator = indicator.astype(real_dtype())
+
+    def _check_solid_hash_capacity(self, moved):
+        """The solid hash was planned on the reference config with 2x
+        headroom; verify the DEFORMED config still fits the static
+        (span, K) so the in-kernel locator cannot silently drop cells."""
+        from .interp import check_cell_hash_capacity
+        sdims, sspan, sK = self._solid_hash_plan
+        cv = np.asarray(moved)[np.asarray(self.solid.mesh.cells)]
+        check_cell_hash_capacity(cv, sdims, sspan, sK,
+                                 context=" (deformed solid)")
 
     def find_fluid_bc(self, first_step: bool = True):
         """reference: source/fsi.cpp:168-310.  The FSI Dirichlet

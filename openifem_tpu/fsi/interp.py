@@ -171,6 +171,49 @@ def plan_cell_hash(cell_verts_np, safety: float = 1.0,
     return dims, span, K
 
 
+def check_cell_hash_capacity(cell_verts_np, dims, span: int, K: int,
+                             tol: float = 1e-10, context: str = ""):
+    """Host-side check that a (deformed) configuration still fits the
+    statically planned (dims, span, K) of make_cell_hash: build only
+    enumerates span offsets per axis and locate reads K candidates per
+    bin, so an over-stretched cell or over-crowded bin would silently
+    drop candidates.  Mirrors build's binning arithmetic (static dims,
+    current domain extents).  Raises RuntimeError on overflow."""
+    import numpy as np
+    from itertools import product
+
+    cv = np.asarray(cell_verts_np)
+    dim = cv.shape[-1]
+    lo_c, hi_c = cv.min(axis=1) - tol, cv.max(axis=1) + tol
+    dom_lo, dom_hi = lo_c.min(axis=0), hi_c.max(axis=0)
+    inv_bin = np.asarray(dims) / np.maximum(dom_hi - dom_lo, 1e-300)
+    b0 = np.clip(np.floor((lo_c - dom_lo) * inv_bin).astype(np.int64), 0,
+                 np.asarray(dims) - 1)
+    b1 = np.clip(np.floor((hi_c - dom_lo) * inv_bin).astype(np.int64), 0,
+                 np.asarray(dims) - 1)
+    need_span = int((b1 - b0 + 1).max())
+    if need_span > span:
+        raise RuntimeError(
+            f"cell hash overflow{context}: a deformed cell spans "
+            f"{need_span} bins but the static plan enumerates {span}; "
+            "point location would silently miss cells.  Re-plan the hash "
+            "(plan_cell_hash with a larger safety factor).")
+    strides = np.cumprod((1,) + tuple(dims)[:-1])
+    ids = []
+    for off in product(*(range(span) for _ in range(dim))):
+        b = b0 + np.asarray(off)
+        ok = (b <= b1).all(axis=1)
+        ids.append((b[ok] * strides).sum(axis=1))
+    _, counts = np.unique(np.concatenate(ids), return_counts=True)
+    need_K = int(counts.max())
+    if need_K > K:
+        raise RuntimeError(
+            f"cell hash overflow{context}: a bin holds {need_K} cells but "
+            f"the static plan reads K={K} candidates; point location "
+            "would silently truncate.  Re-plan the hash with a larger "
+            "safety factor.")
+
+
 def make_cell_hash(n_cells: int, dims, span: int, K: int,
                    tol: float = 1e-10):
     """Uniform-grid spatial hash with fully static shapes (the TPU-native

@@ -113,6 +113,7 @@ class MPIFSI(FSI):
     def update_solid_box_and_indicator(self):
         k = self._mpi_kernels
         moved = self._solid_moved_verts()
+        self._check_solid_hash_capacity(moved)
         self.fluid.indicator = k.indicator_all_vertices(moved).astype(
             real_dtype())
 
