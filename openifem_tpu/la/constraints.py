@@ -62,6 +62,16 @@ class Constraints:
             x = jnp.where(self.hanging, xm, x)
         return x
 
+    def apply_increment_with(self, x, values):
+        """apply_increment with caller-supplied inhomogeneities (the
+        on-device steppers feed per-step hard-coded BC tables)."""
+        x = jnp.where(self.dirichlet, x + values, x)
+        if self.any_hanging:
+            w = self.hang_w.astype(x.dtype)
+            xm = (x[self.hang_idx] * w).sum(axis=1)
+            x = jnp.where(self.hanging, xm, x)
+        return x
+
     def distribute_with_values(self, x, dirichlet_values):
         """distribute() with caller-supplied Dirichlet values."""
         x = jnp.where(self.dirichlet, dirichlet_values, x)

@@ -314,6 +314,133 @@ class SUPGFluidSolver(FluidSolverBase):
         du = cons.distribute(res.x)
         return du, res_norm, res.iters, res.residual
 
+    # ------------------------------------------------------------------
+    def bc_value_table(self, n_steps: int):
+        """Per-step hard-coded Dirichlet inhomogeneities for the next
+        n_steps, replicating the run loop's bc_time advance + constraint
+        rebuild (reference: source/mpi_supg_solver.cpp:427-486).  Build
+        this BEFORE make_on_device_stepper (it restores the solver's
+        constraints afterwards)."""
+        dt = self.time.get_delta_t()
+        t0 = self.bc_time
+        vals = []
+        for i in range(n_steps):
+            # table[0] = what run_one_step would apply right now; each
+            # further step advances the BC clock by dt (run loop order:
+            # bc_time += dt, make_constraints, run_one_step)
+            self.bc_time = t0 + i * dt
+            self._make_constraints()
+            vals.append(np.asarray(
+                self.nonzero_constraints.dirichlet_values))
+        self.bc_time = t0
+        self._make_constraints()
+        return jnp.asarray(np.stack(vals), dtype=real_dtype())
+
+    def make_on_device_stepper(self, bc_values=None):
+        """Fully on-device SUPG time stepping: lax.fori_loop over steps
+        with the Newton loop as a lax.while_loop and the nodal-stress
+        update fused per step — zero host round-trips per step (see
+        InsIM.make_on_device_stepper).
+
+        bc_values: optional (n_steps, n_dofs) table from bc_value_table
+        for time-dependent hard-coded BCs (the reference run loop
+        reapplies nonzero constraints every step); None = zero-increment
+        stepping (BCs already in the state).  Returns fn(present, stress,
+        n_steps) -> (present, stress, max_rel_res, max_newton_iters)."""
+        import jax.lax as lax
+        params = self.params
+        cons = self.zero_constraints
+        ucons = self.u_constraints
+        pcons = self.p_constraints
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+        eddy0 = getattr(self, "eddy_viscosity_nodal", None)
+        if eddy0 is None:
+            eddy0 = jnp.zeros(self.u_space.n_nodes, dtype=real_dtype())
+        nz = self.nonzero_constraints
+
+        def newton_once(eval_pt, present, stress_nodal):
+            du, rn, _, _ = self._newton_iter_impl(
+                eval_pt, present, self.indicator, self.fsi_acc_nodal,
+                self.fsi_stress_nodal, stress_nodal, eddy0, cons, ucons,
+                pcons)
+            return eval_pt + du, rn
+
+        def one_step(present, stress_nodal, bc_delta):
+            if bc_delta is not None:
+                eval_pt = nz.apply_increment_with(present, bc_delta)
+            else:
+                eval_pt = present
+            eval_pt, res0 = newton_once(eval_pt, present, stress_nodal)
+
+            def cond(s):
+                e, it, res = s
+                return ((res / jnp.maximum(res0, 1e-300) > tol) &
+                        (res > 1e-14) & (it < max_it))
+
+            def body(s):
+                e, it, res = s
+                e2, rn = newton_once(e, present, stress_nodal)
+                return (e2, it + 1, rn)
+
+            eval_pt, it, res = lax.while_loop(cond, body,
+                                              (eval_pt, 1, res0))
+            rel = jnp.where(res0 > 1e-14,
+                            res / jnp.maximum(res0, 1e-300), 0.0)
+            return eval_pt, self._update_stress_impl(eval_pt), rel, it
+
+        @jax.jit
+        def run_n(present, stress_nodal, n_steps):
+            def body(i, s):
+                p, st, worst_rel, worst_it = s
+                bc = bc_values[i] if bc_values is not None else None
+                p2, st2, rel, it = one_step(p, st, bc)
+                return (p2, st2, jnp.maximum(worst_rel, rel),
+                        jnp.maximum(worst_it, it))
+
+            return lax.fori_loop(0, n_steps, body,
+                                 (present, stress_nodal,
+                                  jnp.zeros((), present.dtype), 0))
+
+        return run_n
+
+    def run_on_device(self, verbose: bool = True):
+        """run() with the whole time loop as ONE device dispatch
+        (make_on_device_stepper); results match the host run() bit-exactly
+        (tests/test_supg.py::test_supg_on_device_stepper_matches_host).
+        The production/benchmark path for standalone SUPG runs."""
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            if self.hard_coded_bcs:
+                self.bc_time += self.time.get_delta_t()
+            self.setup()
+            self._setup_done = True
+        dt = self.time.get_delta_t()
+        n = int(round((self.time.end() - self.time.current()) / dt))
+        if n <= 0:
+            return
+        if self.hard_coded_bcs:
+            table = self.bc_value_table(n)
+        else:
+            # reference run loop: nonzero constraints at the first step
+            # only, zero increments afterwards
+            table = jnp.zeros((n, self.n_dofs), dtype=real_dtype()).at[
+                0].set(self.nonzero_constraints.dirichlet_values)
+        stepper = self.make_on_device_stepper(table)
+        sol, stress, rel, its = stepper(self.present_solution,
+                                        self.stress_device, n)
+        if float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many Newton iterations!")
+        self.present_solution = sol
+        self.stress_device = stress
+        self.newton_iters = int(its)
+        for _ in range(n):
+            self.time.increment()
+        if verbose:
+            print(f"run_on_device: {n} steps, worst rel_res "
+                  f"{float(rel):.3e}, max newton iters {int(its)}")
+
     def run_one_step(self, apply_nonzero_constraints: bool,
                      assemble_system: bool = True, verbose: bool = True,
                      zero_cons=None, nonzero_cons=None):

@@ -132,3 +132,50 @@ def test_fluid_cylinder_scnsim_golden():
     pmax = float(f.pressure_part().max())
     assert abs(vmax - 4.5) / 4.5 < 1e-3
     assert abs(pmax - 1.03544) / 1.03544 < 1e-3
+
+
+def test_supg_on_device_stepper_matches_host():
+    """The fully on-device SUPG stepper (per-step hard-coded BC table +
+    fused nodal-stress update) reproduces the host run() bit-exactly on a
+    truncated time-dependent-BC duct run."""
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/acoustic_duct_wave_mpi/"
+        "acoustic_duct_wave_mpi.prm")
+    n_steps = 6
+    p.end_time = n_steps * p.time_step
+
+    def pulse(dt):
+        def fn(points, component, t):
+            out = np.zeros(len(points))
+
+            def tv(tt):
+                return 6.0 * np.exp(-0.5 * ((tt - 0.5e-4) / 0.15e-4) ** 2)
+            if component == 0:
+                m = np.abs(points[:, 0]) < 1e-10
+                prev = 0.0 if t < 2 * dt else tv(t - dt)
+                out[m] = tv(t) - prev
+            return out
+        return fn
+
+    def build():
+        mesh = generators.subdivided_hyper_rectangle([8, 2], [0, 0],
+                                                     [4.0, 1.0])
+        f = SCnsIM(mesh, p)
+        f.add_hard_coded_boundary_condition(0, pulse(p.time_step))
+        return f
+
+    f1 = build()
+    f1.run(verbose=False)
+    u1 = np.asarray(f1.present_solution)
+
+    f2 = build()
+    f2.run_on_device(verbose=False)
+    u2 = np.asarray(f2.present_solution)
+    scale = max(1.0, np.abs(u1).max())
+    assert np.abs(u2 - u1).max() < 1e-12 * scale
