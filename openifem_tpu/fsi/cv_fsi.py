@@ -651,9 +651,7 @@ class ControlVolumeFSI(MPIFSI):
             zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
             if self._tm is not None:
                 self._tm.run_one_step(True)
-            self.fluid.run_one_step(True, verbose=verbose,
-                                    zero_cons=zero_ext,
-                                    nonzero_cons=nonzero_ext)
+            self._run_fluid_step(zero_ext, nonzero_ext, verbose)
             first_step = False
             self.time.increment()
             if self._cv_bounds is not None:

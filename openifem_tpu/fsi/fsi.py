@@ -116,6 +116,61 @@ class FSI:
         indicator = k.indicator(moved)
         self.fluid.indicator = indicator.astype(real_dtype())
 
+    # ------------------------------------------------------------------
+    # fluid advance: fused single-dispatch device step when the solver
+    # provides one (make_fsi_step); set device_fluid_stepping = False for
+    # the instrumented host path (same converged solution either way)
+    device_fluid_stepping = True
+
+    def _run_fluid_step(self, zero_ext, nonzero_ext, verbose):
+        fluid = self.fluid
+        # body-force mode passes (None, None): the solver defaults apply,
+        # matching run_one_step's `zero_cons or self.zero_constraints`
+        zero_ext = zero_ext if zero_ext is not None else \
+            fluid.zero_constraints
+        nonzero_ext = nonzero_ext if nonzero_ext is not None else \
+            fluid.nonzero_constraints
+        fn = None
+        if self.device_fluid_stepping and hasattr(fluid, "make_fsi_step"):
+            key = id(fluid.mesh)   # rebuilt after AMR re-setup
+            if getattr(self, "_fluid_step_key", None) != key:
+                self._fluid_step_fn = fluid.make_fsi_step()
+                self._fluid_step_key = key
+            fn = self._fluid_step_fn
+        if fn is None:
+            fluid.run_one_step(True, verbose=verbose, zero_cons=zero_ext,
+                               nonzero_cons=nonzero_ext)
+            return
+        from ..solvers.fluid.supg import SUPGFluidSolver
+        fluid.time.increment()
+        if verbose:
+            print(f"*** Time step = {fluid.time.get_timestep()}, "
+                  f"at t = {fluid.time.current():.6e} (device step)")
+        ucons = fluid._u_cons_of(zero_ext)
+        if isinstance(fluid, SUPGFluidSolver):
+            eddy = getattr(fluid, "eddy_viscosity_nodal", None)
+            if eddy is None:
+                eddy = jnp.zeros(fluid.u_space.n_nodes, dtype=real_dtype())
+            sol, stress, rel, its = fn(
+                fluid.present_solution, fluid.indicator,
+                fluid.fsi_acc_nodal, fluid.fsi_stress_nodal,
+                fluid.stress_device, eddy, zero_ext, nonzero_ext, ucons,
+                fluid.p_constraints)
+        else:
+            sol, stress, rel, its = fn(
+                fluid.present_solution, fluid.indicator,
+                fluid.fsi_acceleration, fluid.fsi_stress_cell,
+                fluid.fsi_acc_nodal, zero_ext, nonzero_ext, ucons,
+                fluid.p_constraints)
+        if float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many Newton iterations!")
+        fluid.solution_increment = sol - fluid.present_solution
+        fluid.present_solution = sol
+        fluid.stress_device = stress
+        fluid.newton_iters = int(its)
+        fluid._end_of_step_io()
+
+
     def _check_solid_hash_capacity(self, moved):
         """The solid hash was planned on the reference config with 2x
         headroom; verify the DEFORMED config still fits the static
@@ -290,9 +345,7 @@ class FSI:
             with self.timer.scope("Find fluid BC"):
                 zero_ext, nonzero_ext = self.find_fluid_bc(first_step)
             with self.timer.scope("Run fluid solver"):
-                self.fluid.run_one_step(True, verbose=verbose,
-                                        zero_cons=zero_ext,
-                                        nonzero_cons=nonzero_ext)
+                self._run_fluid_step(zero_ext, nonzero_ext, verbose)
             first_step = False
             self.time.increment()
             if self.time.time_to_refine():

@@ -339,9 +339,7 @@ class MPIFSI(FSI):
                 with self.timer.scope("Run turbulence model"):
                     self._tm.run_one_step(True)
             with self.timer.scope("Run fluid solver"):
-                self.fluid.run_one_step(True, verbose=verbose,
-                                        zero_cons=zero_ext,
-                                        nonzero_cons=nonzero_ext)
+                self._run_fluid_step(zero_ext, nonzero_ext, verbose)
             first_step = False
             self.time.increment()
             if self.time.time_to_refine():

@@ -555,6 +555,52 @@ class InsIM(FluidSolverBase):
 
         return run_n
 
+    def make_fsi_step(self):
+        """One coupled-run time step as a SINGLE jitted call: Newton as a
+        lax.while_loop with the per-step FSI fields and (extended)
+        constraint sets as runtime pytree arguments, nodal-stress update
+        fused in.  The FSI drivers use this instead of the host Newton
+        loop of run_one_step — same converged solution (flexible Krylov,
+        same tolerances), one dispatch per fluid step.
+
+        Returns fn(present, indicator, fsi_acc, fsi_stress, fsi_acc_nodal,
+        zero_cons, nonzero_cons, ucons, pcons) ->
+        (present, stress_nodal, rel_res, newton_iters)."""
+        import jax.lax as lax
+        params = self.params
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+
+        @jax.jit
+        def step(present, indicator, fsi_acc, fsi_stress, fsi_acc_nodal,
+                 zero_cons, nonzero_cons, ucons, pcons):
+            def newton_once(eval_pt):
+                du, rn, _, _ = self._newton_iter_impl(
+                    eval_pt, present, indicator, fsi_acc, fsi_stress,
+                    fsi_acc_nodal, zero_cons, ucons, pcons)
+                return eval_pt + du, rn
+
+            eval_pt = nonzero_cons.apply_increment(present)
+            eval_pt, res0 = newton_once(eval_pt)
+
+            def cond(s):
+                e, it, res = s
+                return ((res / jnp.maximum(res0, 1e-300) > tol) &
+                        (res > 1e-11) & (it < max_it))
+
+            def body(s):
+                e, it, res = s
+                e2, rn = newton_once(e)
+                return (e2, it + 1, rn)
+
+            eval_pt, it, res = lax.while_loop(cond, body,
+                                              (eval_pt, 1, res0))
+            rel = jnp.where(res0 > 1e-11,
+                            res / jnp.maximum(res0, 1e-300), 0.0)
+            return eval_pt, self._update_stress_impl(eval_pt), rel, it
+
+        return step
+
     def run_one_step(self, apply_nonzero_constraints: bool,
                      assemble_system: bool = True, verbose: bool = True,
                      zero_cons=None, nonzero_cons=None):

@@ -404,6 +404,51 @@ class SUPGFluidSolver(FluidSolverBase):
 
         return run_n
 
+    def make_fsi_step(self):
+        """One coupled-run time step as a SINGLE jitted call (see
+        InsIM.make_fsi_step): Newton as lax.while_loop, per-step FSI
+        fields + (extended) constraint sets as runtime pytree args, nodal
+        stress update fused.  Returns fn(present, indicator,
+        fsi_acc_nodal, fsi_stress_nodal, stress_nodal, eddy_nu,
+        zero_cons, nonzero_cons, ucons, pcons) ->
+        (present, stress_nodal, rel_res, newton_iters)."""
+        import jax.lax as lax
+        params = self.params
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+
+        @jax.jit
+        def step(present, indicator, fsi_acc_nodal, fsi_stress_nodal,
+                 stress_nodal, eddy_nu, zero_cons, nonzero_cons, ucons,
+                 pcons):
+            def newton_once(eval_pt):
+                du, rn, _, _ = self._newton_iter_impl(
+                    eval_pt, present, indicator, fsi_acc_nodal,
+                    fsi_stress_nodal, stress_nodal, eddy_nu, zero_cons,
+                    ucons, pcons)
+                return eval_pt + du, rn
+
+            eval_pt = nonzero_cons.apply_increment(present)
+            eval_pt, res0 = newton_once(eval_pt)
+
+            def cond(s):
+                e, it, res = s
+                return ((res / jnp.maximum(res0, 1e-300) > tol) &
+                        (res > 1e-14) & (it < max_it))
+
+            def body(s):
+                e, it, res = s
+                e2, rn = newton_once(e)
+                return (e2, it + 1, rn)
+
+            eval_pt, it, res = lax.while_loop(cond, body,
+                                              (eval_pt, 1, res0))
+            rel = jnp.where(res0 > 1e-14,
+                            res / jnp.maximum(res0, 1e-300), 0.0)
+            return eval_pt, self._update_stress_impl(eval_pt), rel, it
+
+        return step
+
     def run_on_device(self, verbose: bool = True):
         """run() with the whole time loop as ONE device dispatch
         (make_on_device_stepper); results match the host run() bit-exactly
