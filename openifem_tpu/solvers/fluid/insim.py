@@ -665,3 +665,33 @@ class InsIM(FluidSolverBase):
         self.run_one_step(True, verbose=verbose)
         while self.time.end() - self.time.current() > 1e-12:
             self.run_one_step(False, verbose=verbose)
+
+    def run_on_device(self, verbose: bool = True):
+        """run() with all steps after the first as ONE device dispatch
+        (make_on_device_stepper); static-BC configurations only (the
+        stepper applies zero-increment constraints; time-dependent
+        hard-coded BCs need the SUPG-style per-step table)."""
+        assert not self.hard_coded_bcs, \
+            "run_on_device(InsIM) supports static BCs only"
+        if not self._setup_done:
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            self.setup()
+        self.run_one_step(True, verbose=verbose)
+        dt = self.time.get_delta_t()
+        n = int(round((self.time.end() - self.time.current()) / dt))
+        if n <= 0:
+            return
+        stepper = self.make_on_device_stepper()
+        sol, rel, its = stepper(self.present_solution, n)
+        if float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many Newton iterations!")
+        self.solution_increment = sol - self.present_solution
+        self.present_solution = sol
+        self.newton_iters = int(its)
+        for _ in range(n):
+            self.time.increment()
+        self.update_stress()
+        if verbose:
+            print(f"run_on_device: {n} steps, worst rel_res "
+                  f"{float(rel):.3e}, max newton iters {int(its)}")

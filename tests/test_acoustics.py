@@ -48,7 +48,7 @@ def test_acoustic_duct_wave_scnsim():
     f = SCnsIM(mesh, p)
     f.add_hard_coded_boundary_condition(
         0, _gaussian_pulse(p.time_step, 0.5e-4, 0.15e-4, incremental=True))
-    f.run(verbose=False)
+    f.run_on_device(verbose=False)  # bit-exact vs run(); one dispatch
     vmax = float(f.velocity_part().max())
     assert abs(vmax - 5.93) / 5.93 < 1e-3
 
@@ -81,7 +81,7 @@ def test_acoustic_duct_wave_serial_scnsim():
         return out
 
     f.add_hard_coded_boundary_condition(0, pulse)
-    f.run(verbose=False)
+    f.run_on_device(verbose=False)
     vmax = float(f.velocity_part().max())
     assert abs(vmax - 5.91) / 5.91 < 1e-3
 
@@ -117,7 +117,7 @@ def test_acoustic_pml_absorption():
     f.add_hard_coded_boundary_condition(
         0, _gaussian_pulse(p.time_step, 0.5e-6, 0.15e-6, incremental=True))
     f.set_sigma_pml_field(sigma)
-    f.run(verbose=False)
+    f.run_on_device(verbose=False)
     vmax = float(np.abs(f.velocity_part()).max())
     assert vmax < 5e-2
 
@@ -229,6 +229,6 @@ def test_acoustic_pml_absorption_serial():
     f = SerialSCnsIM(mesh, p)
     f.add_hard_coded_boundary_condition(0, pulse)
     f.set_sigma_pml_field(sigma)
-    f.run(verbose=False)
+    f.run_on_device(verbose=False)
     vmax = float(np.abs(f.velocity_part()).max())
     assert vmax < 5e-2

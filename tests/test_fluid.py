@@ -120,7 +120,7 @@ def test_fluid_cylinder_golden():
     p = AllParameters.from_file(f"{REF}/fluid_cylinder/fluid_cylinder.prm")
     mesh = generators.flow_around_cylinder(2)
     f = InsIM(mesh, p, bc=_cylinder_bv)
-    f.run(verbose=False)
+    f.run_on_device(verbose=False)
     vmax = float(f.velocity_part().max())
     pmax = float(f.pressure_part().max())
     assert abs(vmax - 0.4064759) / 0.4064759 < 1e-3
