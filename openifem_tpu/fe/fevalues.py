@@ -10,7 +10,7 @@ source/insim.cpp:155-168).  Geometry mapping is (bi/tri)linear (MappingQ1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

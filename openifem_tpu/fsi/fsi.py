@@ -19,8 +19,7 @@ import numpy as np
 from ..config import real_dtype
 from ..parameters import AllParameters
 from ..utils.timectl import Time
-from .interp import (interpolate_nodal, make_cell_hash, plan_cell_hash,
-                     shape_values_jax)
+from .interp import interpolate_nodal, make_cell_hash, plan_cell_hash
 
 
 class FSI:

@@ -8,7 +8,6 @@ onto the MXU and the scatter-add is a single segment-sum.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

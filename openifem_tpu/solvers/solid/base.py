@@ -21,7 +21,6 @@ from ...fe.shapes import gauss_quadrature
 from ...fe.space import FESpace, SystemSpace
 from ...la.constraints import Constraints
 from ...la.krylov import cg
-from ...la.operators import element_diag, element_matvec
 from ...parameters import AllParameters, component_flag_to_mask
 from ...utils.timectl import Time
 
