@@ -203,16 +203,17 @@ class MGLevel:
             y = element_matvec(self.A_loc, self.cell_dofs, self.n, x)
         return jnp.where(self.fixed, x, y)
 
-    def chebyshev(self, b, x, degree: int):
+    def chebyshev(self, b, x, degree: int, x_is_zero: bool = False):
         """degree Chebyshev iterations on D^-1 A targeting
-        [lam_max/4, lam_max] (the smoothing range); no dot products."""
+        [lam_max/4, lam_max] (the smoothing range); no dot products.
+        x_is_zero skips the initial residual matvec (pre-smoothing)."""
         lmax = self.lam_max
         lmin = lmax / 4.0
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
         rho = 1.0 / sigma
-        r = b - self.matvec(x)
+        r = b if x_is_zero else b - self.matvec(x)
         z = self.dinv * r
         d = z / theta
         for _ in range(degree):
@@ -304,7 +305,8 @@ class GeometricMG:
             lv = self.levels[i]
             if i == 0:
                 return self.A0_inv @ bi
-            x = lv.chebyshev(bi, jnp.zeros_like(bi), self.n_smooth)
+            x = lv.chebyshev(bi, jnp.zeros_like(bi), self.n_smooth,
+                             x_is_zero=True)
             r = bi - lv.matvec(x)
             r = jnp.where(lv.fixed, 0.0, r)
             bc = self._restrict(i - 1, r)
