@@ -195,8 +195,7 @@ def bench_fsi_leaflet(n_steps=20):
         solid.run_one_step(first_step)
         fsi.update_solid_box_and_indicator()
         zero_ext, nonzero_ext = fsi.find_fluid_bc(first_step)
-        fluid.run_one_step(True, verbose=False, zero_cons=zero_ext,
-                           nonzero_cons=nonzero_ext)
+        fsi._run_fluid_step(zero_ext, nonzero_ext, verbose=False)
         newtons.append(int(getattr(fluid, "newton_iters", 0)))
         first_step = False
         fsi.time.increment()
@@ -274,54 +273,56 @@ def main():
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
     details = []
-    headline = None
+    headline_printed = [False]
+    # reference baseline: 100 steps / 240 s at the refine=1 dof count
+    ref = 3612 * 100 / 240.0 / 1e6
 
     def want(name):
         return only is None or only == name
 
-    r1 = None
+    def record(d):
+        """Stream each case as it completes: stderr detail line + details
+        file rewrite, so a timeout-killed run still leaves a record."""
+        d["vs_ref_refine1_dof_throughput"] = round(
+            d["mdof_steps_per_s"] / ref, 3)
+        details.append(d)
+        with open(details_path, "w") as f:
+            json.dump({"baseline_mdof_steps_per_s": round(ref, 6),
+                       "cases": details}, f, indent=1)
+        print(json.dumps(d), file=sys.stderr, flush=True)
+
+    def print_headline(d, v):
+        print(json.dumps({
+            "metric": f"{d['case']}_insim_throughput",
+            "value": round(v, 6),
+            "unit": "MDoF-steps/s",
+            "vs_baseline": round(v / ref, 3),
+        }), flush=True)
+        headline_printed[0] = True
+
     if want("r1"):
-        r1, _ = bench_cylinder(1, timed=10)
-        details.append(r1)
+        d, _ = bench_cylinder(1, timed=10)
+        record(d)
     if want("r3"):
         d, _ = bench_cylinder(3, timed=5)
-        details.append(d)
+        record(d)
     if want("r4"):
         d, v = bench_cylinder(4, timed=3, telemetry=False,
                               host_first_step=False)
-        details.append(d)
-        headline = (d, v)
+        record(d)
+        # headline goes out BEFORE the (host-heavy) FSI extras, so a
+        # driver timeout cannot lose it
+        print_headline(d, v)
     if want("leaflet"):
         d, _ = bench_fsi_leaflet(n_steps=10)
-        details.append(d)
+        record(d)
     if want("wall3d"):
         d, _ = bench_fsi_wall_3d()
-        details.append(d)
+        record(d)
 
-    # reference baseline: 100 steps / 240 s at refine=1
-    if r1 is not None:
-        ref = r1["n_dofs"] * 100 / 240.0 / 1e6
-    else:
-        ref = 3612 * 100 / 240.0 / 1e6
-    for d in details:
-        d["vs_ref_refine1_dof_throughput"] = round(
-            d["mdof_steps_per_s"] / ref, 3)
-
-    with open(details_path, "w") as f:
-        json.dump({"baseline_mdof_steps_per_s": round(ref, 6),
-                   "cases": details}, f, indent=1)
-    for d in details:
-        print(json.dumps(d), file=sys.stderr)
-
-    if headline is None:   # partial run: report the last case
-        headline = (details[-1], details[-1]["mdof_steps_per_s"])
-    d, v = headline
-    print(json.dumps({
-        "metric": f"{d['case']}_insim_throughput",
-        "value": round(v, 6),
-        "unit": "MDoF-steps/s",
-        "vs_baseline": round(v / ref, 3),
-    }))
+    if not headline_printed[0] and details:   # partial run: last case
+        d = details[-1]
+        print_headline(d, d["mdof_steps_per_s"])
 
 
 if __name__ == "__main__":
