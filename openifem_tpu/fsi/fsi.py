@@ -131,10 +131,13 @@ class FSI:
             fluid.nonzero_constraints
         fn = None
         if self.device_fluid_stepping and hasattr(fluid, "make_fsi_step"):
-            key = id(fluid.mesh)   # rebuilt after AMR re-setup
-            if getattr(self, "_fluid_step_key", None) != key:
+            # key on the mesh OBJECT (kept alive by the reference), not
+            # id(): after AMR replaces fluid.mesh a freed mesh's address
+            # can be reused and an id() key would silently match stale
+            # jitted shape tables
+            if getattr(self, "_fluid_step_mesh", None) is not fluid.mesh:
                 self._fluid_step_fn = fluid.make_fsi_step()
-                self._fluid_step_key = key
+                self._fluid_step_mesh = fluid.mesh
             fn = self._fluid_step_fn
         if fn is None:
             fluid.run_one_step(True, verbose=verbose, zero_cons=zero_ext,

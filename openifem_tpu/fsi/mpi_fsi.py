@@ -217,8 +217,11 @@ class MPIFSI(FSI):
         # and traction accumulation as one masked scatter-add per retry.
         # Tables + kernel are mesh-only, cached across time steps (a fresh
         # @jax.jit closure per call would retrace every step).
-        cache_key = id(solid.mesh)
-        if getattr(self, "_contact_cache_key", None) != cache_key:
+        # key on the mesh OBJECT (kept alive by the reference), not id():
+        # a freed mesh's address can be reused after AMR.  force_increment
+        # and dirn are runtime kernel args, so changing either between
+        # steps takes effect without invalidating the cache.
+        if getattr(self, "_contact_cache_mesh", None) is not solid.mesh:
             fv = solid.fv
             smesh = np.asarray(solid.mesh.cells)
             fvidx = np.asarray(FACE_VERTICES[d])[np.asarray(fv.faces)]
@@ -226,14 +229,13 @@ class MPIFSI(FSI):
             normals0 = np.asarray(fv.normals)[:, 0, :]              # (F,d)
             nrm = jnp.asarray(np.repeat(normals0, fvidx.shape[1], axis=0))
             verts_j = jnp.asarray(verts, dtype=jnp.int32)
-            dirn_j = jnp.asarray(dirn, dtype=real_dtype())
 
             @jax.jit
-            def _add_contact_traction(rows, pen):
+            def _add_contact_traction(rows, pen, force_inc, dirn_j):
                 # extra[p, :, d-1] = force * pen[p] * dirn / nrm[p] where
                 # the normal component is usable (mpi_fsi.cpp:929-948)
                 active = pen > 1e-5
-                traction = (force_increment * pen[:, None] *
+                traction = (force_inc * pen[:, None] *
                             dirn_j[None, :])
                 col = jnp.where(nrm > 1e-5, traction / jnp.where(
                     nrm > 1e-5, nrm, 1.0), 0.0)      # (P, d)
@@ -242,11 +244,12 @@ class MPIFSI(FSI):
                                   dtype=rows.dtype).at[..., d - 1].set(col)
                 return rows.at[verts_j].add(extra), jnp.any(active)
 
-            self._contact_cache_key = cache_key
+            self._contact_cache_mesh = solid.mesh
             self._contact_verts = verts
             self._contact_kernel = _add_contact_traction
         verts = self._contact_verts
         _add_contact_traction = self._contact_kernel
+        dirn_j = jnp.asarray(dirn, dtype=real_dtype())
 
         while True:
             solid.run_one_step(first_step)
@@ -254,7 +257,8 @@ class MPIFSI(FSI):
             pen = jnp.asarray(self.penetration_criterion(
                 np.asarray(moved)[verts]), dtype=real_dtype())
             rows, any_active = _add_contact_traction(
-                jnp.asarray(solid.fsi_stress_rows, dtype=real_dtype()), pen)
+                jnp.asarray(solid.fsi_stress_rows, dtype=real_dtype()), pen,
+                real_dtype()(force_increment), dirn_j)
             if not bool(any_active):
                 break
             solid.fsi_stress_rows = rows

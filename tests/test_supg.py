@@ -115,7 +115,14 @@ def test_fluid_cylinder_scnsim_truncated():
 @pytest.mark.slow
 def test_fluid_cylinder_scnsim_golden():
     """Full fluid_cylinder_mpi_scnsim: 1 step at refine=3, goldens
-    vmax = 4.5 and pmax = 1.03544 (rtol 1e-3, reference .cpp:85-86)."""
+    vmax = 4.5 and pmax = 1.03544 (rtol 1e-3, reference .cpp:85-86).
+
+    The base grid is passed unrefined — run() applies the prm's
+    refine_global(3) itself, exactly like the reference main
+    (.cpp creates the grid, run() refines).  An earlier revision of this
+    test pre-refined by 3 on top of run()'s 3 (376832 cells instead of
+    5888), which is where round 2's "HBM blowup at refine=3" actually
+    came from."""
     from openifem_tpu.mesh import generators
     from openifem_tpu.parameters import AllParameters
     from openifem_tpu.solvers.fluid.supg import SCnsIM
@@ -123,9 +130,7 @@ def test_fluid_cylinder_scnsim_golden():
     p = AllParameters.from_file(
         "/root/reference/tests/fluid_cylinder_mpi_scnsim/"
         "fluid_cylinder_mpi_scnsim.prm")
-    mesh = generators.flow_around_cylinder(2).refine_global(
-        p.global_refinements[0])
-    f = SCnsIM(mesh, p)
+    f = SCnsIM(generators.flow_around_cylinder(2), p)
     f.add_hard_coded_boundary_condition(0, _cylinder_inflow(p.time_step))
     f.run(verbose=False)
     vmax = float(f.velocity_part().max())
