@@ -137,6 +137,144 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
     return out, value
 
 
+def bench_scnsim_r3(n_steps=5):
+    """fluid_cylinder_mpi_scnsim at the reference refine=3 (5.9k cells,
+    54k DoF) on the fully on-device SUPG stepper, with Washio-Tpp inner
+    GMRES telemetry per preconditioner apply (the reference prints the
+    same count per outer iteration, source/mpi_supg_solver.cpp:184-190)."""
+    import jax.numpy as jnp
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+
+    def inflow(points, component, t):
+        out = np.zeros(len(points))
+        dt = 1e-2
+        if component == 0 and t < 2 * dt:
+            m = np.abs(points[:, 0]) < 1e-10
+            Umax = 4.5
+            out[m] = (4 * Umax * points[m, 1] *
+                      (0.41 - points[m, 1]) / 0.41 ** 2)
+        return out
+
+    class BenchSCnsIM(SCnsIM):
+        mixed_precision_precond = True
+        f32_matrix = True
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cylinder_mpi_scnsim/"
+        "fluid_cylinder_mpi_scnsim.prm")
+    warmup = 2
+    p.end_time = (1 + warmup + n_steps) * p.time_step
+    t0 = time.time()
+    s = BenchSCnsIM(generators.flow_around_cylinder(2), p)
+    s.add_hard_coded_boundary_condition(0, inflow)
+    s.mesh = s.mesh.refine_global(p.global_refinements[0])
+    s.bc_time += p.time_step
+    s.setup()
+    setup_s = time.time() - t0
+
+    t0 = time.time()
+    s.run_one_step(True, verbose=False)   # host first step (BC pulse)
+    first_s = time.time() - t0
+    table = s.bc_value_table(warmup + n_steps)
+    stepper = s.make_on_device_stepper(table)
+    t0 = time.time()
+    sol, stress, rel, its = stepper(s.present_solution, s.stress_device,
+                                    warmup)
+    sol.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    sol, stress, rel, its = stepper(sol, stress, n_steps)
+    sol.block_until_ready()
+    elapsed = time.time() - t0
+    assert float(rel) < p.fluid_tolerance, \
+        f"non-converged scnsim step: rel={float(rel)}"
+    value = s.n_dofs * n_steps / elapsed / 1e6
+
+    # Tpp preconditioner telemetry on the stepped state (VERDICT r2 #7)
+    s.present_solution = sol
+    eddy = jnp.zeros(s.u_space.n_nodes)
+    A_loc, rhs = s._assemble(sol, sol, s.indicator, s.fsi_acc_nodal,
+                             s.fsi_stress_nodal, stress, eddy)
+    b = s.zero_constraints.condense_rhs(rhs)
+    pre = s._make_preconditioner(A_loc, s.u_constraints, s.p_constraints)
+    _, tpp_iters = pre.stats(b / jnp.linalg.norm(b))
+    du, rn, outer_iters, _ = s._newton_iter(
+        sol, sol, s.indicator, s.fsi_acc_nodal, s.fsi_stress_nodal,
+        stress, eddy, s.zero_constraints, s.u_constraints, s.p_constraints)
+    return {
+        "case": "fluid_cylinder_scnsim_r3",
+        "n_dofs": int(s.n_dofs),
+        "n_cells": int(s.mesh.n_cells),
+        "timed_steps": n_steps,
+        "ms_per_step": round(elapsed / n_steps * 1e3, 1),
+        "mdof_steps_per_s": round(value, 6),
+        "newton_iters_per_step": int(its),
+        "setup_s": round(setup_s, 1),
+        "first_step_s": round(first_s, 1),
+        "stepper_compile_s": round(compile_s, 1),
+        "outer_fgmres_iters": int(outer_iters),
+        "tpp_gmres_iters_per_precond_apply": int(tpp_iters),
+    }, value
+
+
+def bench_scnsex_duct(n_steps=200):
+    """acoustic_duct_wave_mpi_scnsex on the new SCnsEX on-device stepper
+    (lax.scan over the precomputed per-step BC table incl. per-boundary
+    expiry; reference loop source/mpi_scnsex.cpp:540-596)."""
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid.scnsex import SCnsEX
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/acoustic_duct_wave_mpi_scnsex/"
+        "acoustic_duct_wave_mpi_scnsex.prm")
+
+    def pulse(points, component, t):
+        out = np.zeros(len(points))
+        if component == 0:
+            m = np.abs(points[:, 0]) < 1e-10
+            out[m] = 6.0 * np.exp(-0.5 * ((t - 0.5e-4) / 0.15e-4) ** 2)
+        return out
+
+    t0 = time.time()
+    mesh = generators.subdivided_hyper_rectangle([8, 2], [0, 0], [4.0, 1.0])
+    s = SCnsEX(mesh, p)
+    s.add_hard_coded_boundary_condition(0, pulse)
+    s.set_hard_coded_boundary_condition_time(0, 1.1e-4)
+    s.bc_time += p.time_step
+    s.mesh = s.mesh.refine_global(p.global_refinements[0])
+    s.setup()
+    setup_s = time.time() - t0
+
+    # the BC table varies per step, so the compile-warmup dispatch and the
+    # timed dispatch run the SAME full window from the same state (the
+    # second call is a cache hit; per-step cost is uniform)
+    table = s.bc_value_table(n_steps)
+    stepper = s.make_on_device_stepper(table)
+    t0 = time.time()
+    sol, rel, its = stepper(s.present_solution, n_steps)
+    sol.block_until_ready()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    sol, rel, its = stepper(s.present_solution, n_steps)
+    sol.block_until_ready()
+    elapsed = time.time() - t0
+    assert float(rel) < p.fluid_tolerance
+    value = s.n_dofs * n_steps / elapsed / 1e6
+    return {
+        "case": "acoustic_duct_scnsex",
+        "n_dofs": int(s.n_dofs),
+        "n_cells": int(s.mesh.n_cells),
+        "timed_steps": n_steps,
+        "ms_per_step": round(elapsed / n_steps * 1e3, 2),
+        "mdof_steps_per_s": round(value, 6),
+        "setup_s": round(setup_s, 1),
+        "stepper_compile_s": round(compile_s, 1),
+    }, value
+
+
 def bench_fsi_leaflet(n_steps=20):
     """fsi_leaflet (north-star #4): full coupled loop throughput,
     reference configuration (tests/fsi_leaflet/fsi_leaflet.cpp)."""
@@ -313,6 +451,12 @@ def main():
         # headline goes out BEFORE the (host-heavy) FSI extras, so a
         # driver timeout cannot lose it
         print_headline(d, v)
+    if want("scnsim"):
+        d, _ = bench_scnsim_r3()
+        record(d)
+    if want("scnsex"):
+        d, _ = bench_scnsex_duct()
+        record(d)
     if want("leaflet"):
         d, _ = bench_fsi_leaflet(n_steps=10)
         record(d)

@@ -51,6 +51,16 @@ def prolongation_table(coarse_space: FESpace, fine_space: FESpace):
     dim = fm.dim
     assert np.all(fm.family >= 0) and np.all(fm.child_index >= 0), \
         "fine mesh must be a full refinement recording parents"
+    # A PARTIAL refine() of a mesh whose cells all already carry family
+    # records would pass the check above but map unrefined cells to wrong
+    # parents below.  Require an actual full refinement: exact cell count
+    # and every parent covered by exactly 2**dim children.
+    assert fm.n_cells == cm.n_cells * 2 ** dim, \
+        "fine mesh is not a full refinement of the coarse mesh"
+    counts = np.bincount((fm.family - fm.family.min()).astype(np.int64),
+                         minlength=cm.n_cells)
+    assert len(counts) == cm.n_cells and np.all(counts == 2 ** dim), \
+        "fine mesh families do not cover every coarse cell 2**dim times"
     n_fine = fine_space.n_nodes
     nl = fine_space.cell_dofs.shape[1]
     local = fine_space.shapes.local_nodes()          # (nl, dim) unit coords

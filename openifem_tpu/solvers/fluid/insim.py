@@ -518,28 +518,36 @@ class InsIM(FluidSolverBase):
         max_it = params.fluid_max_iterations
 
         def newton_once(eval_pt, present):
-            du, rn, _, _ = self._newton_iter_impl(
+            du, rn, its, _ = self._newton_iter_impl(
                 eval_pt, present, self.indicator, self.fsi_acceleration,
                 self.fsi_stress_cell, self.fsi_acc_nodal, cons, ucons, pcons)
-            return eval_pt + du, rn
+            return eval_pt + du, rn, its
 
         def one_step(present):
-            eval_pt, res0 = newton_once(present, present)
+            eval_pt, res0, its0 = newton_once(present, present)
+            inf = jnp.asarray(jnp.inf, dtype=res0.dtype)
+
+            def stagnated(res, prev, last_its):
+                # host-path parity (run_one_step): a 0-iteration Krylov
+                # solve with a non-decreasing residual is machine-level
+                # stagnation -> stop and treat the step as converged
+                return (last_its == 0) & (res >= prev * (1 - 1e-12))
 
             def cond(s):
-                eval_pt, it, res = s
+                eval_pt, it, res, prev, last_its = s
                 return ((res / res0 > tol) & (res > 1e-11) &
-                        (it < max_it))
+                        (it < max_it) & ~stagnated(res, prev, last_its))
 
             def body(s):
-                eval_pt, it, res = s
-                eval_new, rn = newton_once(eval_pt, present)
-                return (eval_new, it + 1, rn)
+                eval_pt, it, res, prev, last_its = s
+                eval_new, rn, its = newton_once(eval_pt, present)
+                return (eval_new, it + 1, rn, res, its)
 
-            eval_pt, it, res = lax.while_loop(cond, body,
-                                              (eval_pt, 1, res0))
+            eval_pt, it, res, prev, last_its = lax.while_loop(
+                cond, body, (eval_pt, 1, res0, inf, its0))
             rel = jnp.where(res0 > 1e-11, res / jnp.maximum(res0, 1e-300),
                             0.0)
+            rel = jnp.where(stagnated(res, prev, last_its), 0.0, rel)
             return eval_pt, rel, it
 
         @jax.jit
@@ -575,28 +583,35 @@ class InsIM(FluidSolverBase):
         def step(present, indicator, fsi_acc, fsi_stress, fsi_acc_nodal,
                  zero_cons, nonzero_cons, ucons, pcons):
             def newton_once(eval_pt):
-                du, rn, _, _ = self._newton_iter_impl(
+                du, rn, its, _ = self._newton_iter_impl(
                     eval_pt, present, indicator, fsi_acc, fsi_stress,
                     fsi_acc_nodal, zero_cons, ucons, pcons)
-                return eval_pt + du, rn
+                return eval_pt + du, rn, its
 
             eval_pt = nonzero_cons.apply_increment(present)
-            eval_pt, res0 = newton_once(eval_pt)
+            eval_pt, res0, its0 = newton_once(eval_pt)
+            inf = jnp.asarray(jnp.inf, dtype=res0.dtype)
+
+            def stagnated(res, prev, last_its):
+                # host-path parity: see make_on_device_stepper
+                return (last_its == 0) & (res >= prev * (1 - 1e-12))
 
             def cond(s):
-                e, it, res = s
+                e, it, res, prev, last_its = s
                 return ((res / jnp.maximum(res0, 1e-300) > tol) &
-                        (res > 1e-11) & (it < max_it))
+                        (res > 1e-11) & (it < max_it) &
+                        ~stagnated(res, prev, last_its))
 
             def body(s):
-                e, it, res = s
-                e2, rn = newton_once(e)
-                return (e2, it + 1, rn)
+                e, it, res, prev, last_its = s
+                e2, rn, its = newton_once(e)
+                return (e2, it + 1, rn, res, its)
 
-            eval_pt, it, res = lax.while_loop(cond, body,
-                                              (eval_pt, 1, res0))
+            eval_pt, it, res, prev, last_its = lax.while_loop(
+                cond, body, (eval_pt, 1, res0, inf, its0))
             rel = jnp.where(res0 > 1e-11,
                             res / jnp.maximum(res0, 1e-300), 0.0)
+            rel = jnp.where(stagnated(res, prev, last_its), 0.0, rel)
             return eval_pt, self._update_stress_impl(eval_pt), rel, it
 
         return step

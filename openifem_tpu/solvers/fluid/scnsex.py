@@ -233,6 +233,105 @@ class SCnsEX(FluidSolverBase):
         # reference: source/mpi_scnsex.cpp:505-519
         self._end_of_step_io()
 
+    def bc_value_table(self, n_steps: int):
+        """Per-step Dirichlet velocity values for the next n_steps,
+        replicating run()'s loop exactly: per-boundary BC expiry checked
+        against the running time, then the BC clock advance + constraint
+        rebuild (reference: source/mpi_scnsex.cpp:540-596).  Expiry only
+        changes VALUES — the Dirichlet mask is static — so one table
+        covers the whole window (and, like the reference, an expired BC
+        keeps its last rebuilt values until another rebuild happens).
+        Mutates the solver's bc state exactly as running n_steps of run()
+        would; call right before make_on_device_stepper."""
+        dt = self.time.get_delta_t()
+        limits = getattr(self, "bc_time_limits", {})
+        t = self.time.current()
+        vals = []
+        for _ in range(n_steps):
+            for bid in list(limits):
+                if limits[bid] < t:
+                    self.hard_coded_bcs.pop(bid, None)
+                    limits.pop(bid)
+            if self.hard_coded_bcs:
+                self.bc_time += dt
+                self._make_constraints()
+            vals.append(np.asarray(
+                self.nonzero_constraints.dirichlet_values[:self.n_u]))
+            t += dt
+        return jnp.asarray(np.stack(vals), dtype=real_dtype())
+
+    def make_on_device_stepper(self, bc_values_u):
+        """Fully on-device explicit time stepping: lax.fori_loop over steps
+        with the velocity/pressure fixed-point sweep as a lax.while_loop —
+        zero host round-trips per step (the SUPG-family pattern,
+        supg.py::make_on_device_stepper).
+
+        bc_values_u: (n_steps, n_u) table from bc_value_table.  Returns
+        fn(present, n_steps) -> (present, max_rel_res, max_iters)."""
+        import jax.lax as lax
+        params = self.params
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+
+        def one_step(present, bc_vals):
+            new0, _, _ = self._iterate_impl(present, present, bc_vals)
+            init = jnp.maximum(jnp.linalg.norm(new0), 1e-300)
+
+            def cond(s):
+                sol, it, cur = s
+                return (cur / init > tol) & (cur > 1e-12) & (it < max_it)
+
+            def body(s):
+                sol, it, cur = s
+                new, _, _ = self._iterate_impl(sol, present, bc_vals)
+                return (new, it + 1, jnp.linalg.norm(new - sol))
+
+            sol, it, cur = lax.while_loop(cond, body, (new0, 1, init))
+            return sol, cur / init, it
+
+        @jax.jit
+        def run_n(present, n_steps):
+            def body(i, s):
+                p, worst_rel, worst_it = s
+                p2, rel, it = one_step(p, bc_values_u[i])
+                return (p2, jnp.maximum(worst_rel, rel),
+                        jnp.maximum(worst_it, it))
+
+            return lax.fori_loop(0, n_steps, body,
+                                 (present, jnp.zeros((), present.dtype), 0))
+
+        return run_n
+
+    def run_on_device(self, verbose: bool = True):
+        """run() with all steps as ONE device dispatch; the per-step
+        VTU/PVD/checkpoint writes of run_one_step are skipped (only the
+        final state lands on the host) and solution_increment holds the
+        whole-window delta.  The production/benchmark path for standalone
+        SCnsEX runs (see test_acoustics.py for host-path equality)."""
+        if not self._setup_done:
+            if self.hard_coded_bcs:
+                self.bc_time += self.time.get_delta_t()
+            self.mesh = self.mesh.refine_global(
+                self.params.global_refinements[0])
+            self.setup()
+        dt = self.time.get_delta_t()
+        n = int(round((self.time.end() - self.time.current()) / dt))
+        if n <= 0:
+            return
+        table = self.bc_value_table(n)
+        stepper = self.make_on_device_stepper(table)
+        sol, rel, its = stepper(self.present_solution, n)
+        if float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many iterations!")
+        self.solution_increment = sol - self.present_solution
+        self.present_solution = sol
+        for _ in range(n):
+            self.time.increment()
+        self.update_stress()
+        if verbose:
+            print(f"run_on_device: {n} steps, worst rel_res "
+                  f"{float(rel):.3e}, max fixed-point iters {int(its)}")
+
     def run(self, verbose: bool = True):
         """reference: source/mpi_scnsex.cpp:540-596.  Note the BC clock is
         advanced once before setup AND once per loop iteration, so the first

@@ -360,33 +360,43 @@ class SUPGFluidSolver(FluidSolverBase):
         nz = self.nonzero_constraints
 
         def newton_once(eval_pt, present, stress_nodal):
-            du, rn, _, _ = self._newton_iter_impl(
+            du, rn, its, _ = self._newton_iter_impl(
                 eval_pt, present, self.indicator, self.fsi_acc_nodal,
                 self.fsi_stress_nodal, stress_nodal, eddy0, cons, ucons,
                 pcons)
-            return eval_pt + du, rn
+            return eval_pt + du, rn, its
 
         def one_step(present, stress_nodal, bc_delta):
             if bc_delta is not None:
                 eval_pt = nz.apply_increment_with(present, bc_delta)
             else:
                 eval_pt = present
-            eval_pt, res0 = newton_once(eval_pt, present, stress_nodal)
+            eval_pt, res0, its0 = newton_once(eval_pt, present,
+                                              stress_nodal)
+            inf = jnp.asarray(jnp.inf, dtype=res0.dtype)
+
+            def stagnated(res, prev, last_its):
+                # host-path parity (run_one_step): a 0-iteration Krylov
+                # solve with a non-decreasing residual is machine-level
+                # stagnation -> stop and treat the step as converged
+                return (last_its == 0) & (res >= prev * (1 - 1e-12))
 
             def cond(s):
-                e, it, res = s
+                e, it, res, prev, last_its = s
                 return ((res / jnp.maximum(res0, 1e-300) > tol) &
-                        (res > 1e-14) & (it < max_it))
+                        (res > 1e-14) & (it < max_it) &
+                        ~stagnated(res, prev, last_its))
 
             def body(s):
-                e, it, res = s
-                e2, rn = newton_once(e, present, stress_nodal)
-                return (e2, it + 1, rn)
+                e, it, res, prev, last_its = s
+                e2, rn, its = newton_once(e, present, stress_nodal)
+                return (e2, it + 1, rn, res, its)
 
-            eval_pt, it, res = lax.while_loop(cond, body,
-                                              (eval_pt, 1, res0))
+            eval_pt, it, res, prev, last_its = lax.while_loop(
+                cond, body, (eval_pt, 1, res0, inf, its0))
             rel = jnp.where(res0 > 1e-14,
                             res / jnp.maximum(res0, 1e-300), 0.0)
+            rel = jnp.where(stagnated(res, prev, last_its), 0.0, rel)
             return eval_pt, self._update_stress_impl(eval_pt), rel, it
 
         @jax.jit
@@ -422,29 +432,36 @@ class SUPGFluidSolver(FluidSolverBase):
                  stress_nodal, eddy_nu, zero_cons, nonzero_cons, ucons,
                  pcons):
             def newton_once(eval_pt):
-                du, rn, _, _ = self._newton_iter_impl(
+                du, rn, its, _ = self._newton_iter_impl(
                     eval_pt, present, indicator, fsi_acc_nodal,
                     fsi_stress_nodal, stress_nodal, eddy_nu, zero_cons,
                     ucons, pcons)
-                return eval_pt + du, rn
+                return eval_pt + du, rn, its
 
             eval_pt = nonzero_cons.apply_increment(present)
-            eval_pt, res0 = newton_once(eval_pt)
+            eval_pt, res0, its0 = newton_once(eval_pt)
+            inf = jnp.asarray(jnp.inf, dtype=res0.dtype)
+
+            def stagnated(res, prev, last_its):
+                # host-path parity: see make_on_device_stepper
+                return (last_its == 0) & (res >= prev * (1 - 1e-12))
 
             def cond(s):
-                e, it, res = s
+                e, it, res, prev, last_its = s
                 return ((res / jnp.maximum(res0, 1e-300) > tol) &
-                        (res > 1e-14) & (it < max_it))
+                        (res > 1e-14) & (it < max_it) &
+                        ~stagnated(res, prev, last_its))
 
             def body(s):
-                e, it, res = s
-                e2, rn = newton_once(e)
-                return (e2, it + 1, rn)
+                e, it, res, prev, last_its = s
+                e2, rn, its = newton_once(e)
+                return (e2, it + 1, rn, res, its)
 
-            eval_pt, it, res = lax.while_loop(cond, body,
-                                              (eval_pt, 1, res0))
+            eval_pt, it, res, prev, last_its = lax.while_loop(
+                cond, body, (eval_pt, 1, res0, inf, its0))
             rel = jnp.where(res0 > 1e-14,
                             res / jnp.maximum(res0, 1e-300), 0.0)
+            rel = jnp.where(stagnated(res, prev, last_its), 0.0, rel)
             return eval_pt, self._update_stress_impl(eval_pt), rel, it
 
         return step
@@ -453,7 +470,16 @@ class SUPGFluidSolver(FluidSolverBase):
         """run() with the whole time loop as ONE device dispatch
         (make_on_device_stepper); results match the host run() bit-exactly
         (tests/test_supg.py::test_supg_on_device_stepper_matches_host).
-        The production/benchmark path for standalone SUPG runs."""
+        The production/benchmark path for standalone SUPG runs.
+
+        Falls back to run() when a turbulence model is attached: the
+        stepper freezes eddy_viscosity_nodal at build time, while run()
+        steps the model every fluid step.  Per-step VTU/PVD/checkpoint
+        writes are also skipped here (only the final state lands on the
+        host); chunk the dispatch at save intervals if those artifacts
+        are needed."""
+        if getattr(self, "turbulence_model", None) is not None:
+            return self.run(verbose=verbose)
         if not self._setup_done:
             self.mesh = self.mesh.refine_global(
                 self.params.global_refinements[0])

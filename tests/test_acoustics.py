@@ -139,6 +139,36 @@ def test_scnsex_pulse_short():
     assert abs(vmax - 6.0) / 6.0 < 1e-3
 
 
+def test_scnsex_on_device_stepper_matches_host():
+    """run_on_device (one fori_loop dispatch, per-step BC table incl. the
+    per-boundary expiry) reproduces the host run() on a short window."""
+
+    def make():
+        p = AllParameters.from_file(
+            f"{REF}/acoustic_duct_wave_mpi_scnsex/"
+            "acoustic_duct_wave_mpi_scnsex.prm")
+        p.end_time = 3e-5
+        mesh = generators.subdivided_hyper_rectangle([8, 2], [0, 0],
+                                                     [4.0, 1.0])
+        f = SCnsEX(mesh, p)
+        f.add_hard_coded_boundary_condition(
+            0, _gaussian_pulse(p.time_step, 0.5e-4, 0.15e-4,
+                               incremental=False))
+        # expire mid-window so the table path exercises the expiry logic
+        f.set_hard_coded_boundary_condition_time(0, 1.5e-5)
+        return f
+
+    host = make()
+    host.run(verbose=False)
+    dev = make()
+    dev.run_on_device(verbose=False)
+    assert dev.time.get_timestep() == host.time.get_timestep()
+    err = float(np.abs(np.asarray(dev.present_solution) -
+                       np.asarray(host.present_solution)).max())
+    ref = float(np.abs(np.asarray(host.present_solution)).max())
+    assert err <= 1e-10 * max(ref, 1.0), f"device/host mismatch: {err}"
+
+
 def test_fluid_initial_condition():
     """set_initial_condition with a pressure ramp; after one tiny step the
     max pressure stays 1e4 (reference: tests/fluid_initial_condition_mpi,
