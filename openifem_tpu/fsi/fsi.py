@@ -32,6 +32,22 @@ class FSI:
         self.time = Time(params.end_time, params.time_step,
                          params.output_interval, params.refinement_interval,
                          params.save_interval)
+        # optional nested coarse-mesh list (coarsest first, all geometrically
+        # nested under the fluid mesh) for the fluid pressure V-cycle; when
+        # set, the hierarchy [bases..., current fluid mesh] is (re)attached
+        # after every fluid setup — including AMR rebuilds, where the
+        # adapted mesh still nests under the original base grid
+        self.fluid_mg_base = None
+
+    def _enable_fluid_mg(self):
+        fl = self.fluid
+        if (self.fluid_mg_base and hasattr(fl, "enable_pressure_mg")
+                and fl.params.fluid_pressure_degree == 1):
+            bases = [m for m in self.fluid_mg_base
+                     if m.n_cells < fl.mesh.n_cells]
+            if bases:
+                fl.enable_pressure_mg(bases + [fl.mesh],
+                      fixed_prefix=False)
 
     # ------------------------------------------------------------------
     def _setup_coupling(self):
@@ -287,6 +303,7 @@ class FSI:
         rflags[old_to_new[flags]] = True
         fluid.mesh = mesh2.refine(rflags)
         fluid.setup()
+        self._enable_fluid_mg()
         if verbose:
             print(f"FSI refine: {old_mesh.n_cells} -> "
                   f"{fluid.mesh.n_cells} fluid cells")
@@ -321,6 +338,7 @@ class FSI:
         self.fluid.mesh = self.fluid.mesh.refine_global(
             params.global_refinements[0])
         self.fluid.setup()
+        self._enable_fluid_mg()
         self._setup_coupling()
 
         if params.refinement_interval < params.end_time:

@@ -304,6 +304,7 @@ class MPIFSI(FSI):
             self.fluid.mesh = self.fluid.mesh.refine_global(
                 params.global_refinements[0])
             self.fluid.setup()
+        self._enable_fluid_mg()
         tm = getattr(self.fluid, "turbulence_model", None)
         if tm is not None and not hasattr(tm, "space"):
             tm.setup()

@@ -165,6 +165,11 @@ class MGLevel:
                 dtype=dtype)
         fixed = np.asarray(fixed, dtype=bool)
         self.fixed = jnp.asarray(fixed)
+        # keep a HOST copy for setup-time work (_host_matvec power
+        # iteration, coarse assembly): np.asarray on a device array would
+        # round-trip device->host on every use
+        self._A_np = np.asarray(A_loc, dtype=np.float64)
+        self._fixed_np = fixed
         # identity rows/cols on fixed dofs (matches the wrapped fine op)
         self.A_loc = jnp.asarray(A_loc, dtype=dtype)
         self._cd_np = cd_np
@@ -172,7 +177,7 @@ class MGLevel:
         # Jacobi diagonal
         diag = np.zeros(self.n)
         nl = cd_np.shape[1]
-        dloc = np.asarray(A_loc)[:, np.arange(nl), np.arange(nl)]
+        dloc = self._A_np[:, np.arange(nl), np.arange(nl)]
         np.add.at(diag, cd_np.reshape(-1), dloc.reshape(-1))
         diag[fixed] = 1.0
         diag[diag == 0] = 1.0
@@ -198,11 +203,10 @@ class MGLevel:
     def _host_matvec(self, x):
         cd = self._cd_np
         xl = x[cd]                                   # (n_c, nl)
-        yl = np.einsum("clm,cm->cl",
-                       np.asarray(self.A_loc, dtype=np.float64), xl)
+        yl = np.einsum("clm,cm->cl", self._A_np, xl)
         y = np.zeros(self.n)
         np.add.at(y, cd.reshape(-1), yl.reshape(-1))
-        y[np.asarray(self.fixed)] = x[np.asarray(self.fixed)]
+        y[self._fixed_np] = x[self._fixed_np]
         return y
 
     def matvec(self, x):
@@ -268,10 +272,10 @@ class GeometricMG:
         n0 = lv0.n
         A0 = np.zeros((n0, n0))
         cdofs = lv0._cd_np
-        Al = np.asarray(lv0.A_loc, dtype=np.float64)
+        Al = lv0._A_np
         for c in range(len(cdofs)):
             A0[np.ix_(cdofs[c], cdofs[c])] += Al[c]
-        f0 = np.asarray(lv0.fixed)
+        f0 = lv0._fixed_np
         A0[f0, :] = 0.0
         A0[:, f0] = 0.0
         A0[f0, f0] = 1.0
@@ -335,13 +339,19 @@ class GeometricMG:
 def laplacian_levels(meshes: Sequence, degree: int,
                      fixed_fine: Optional[np.ndarray] = None,
                      dtype=jnp.float32,
-                     n_q1d: Optional[int] = None) -> List[MGLevel]:
+                     n_q1d: Optional[int] = None,
+                     fixed_prefix: bool = True) -> List[MGLevel]:
     """MGLevel list for the scalar Q_degree Laplacian on nested meshes.
 
-    fixed_fine: fine-level fixed-dof mask; coarser masks are its node-id
-    prefix (valid because refine_global appends nodes, so coarse node i is
-    fine node i for the same Q_k numbering of the shared entities — exact
-    for Q1 vertex dofs, where node ids ARE vertex ids)."""
+    fixed_fine: fine-level fixed-dof mask.  With fixed_prefix=True the
+    coarser masks are its node-id prefix (valid because refine_global
+    appends nodes, so coarse node i is fine node i for the same Q_k
+    numbering of the shared entities — exact for Q1 vertex dofs, where
+    node ids ARE vertex ids).  Pass fixed_prefix=False for hierarchies
+    that are geometrically nested but NOT built by refine_global (e.g.
+    FSI base grids + a locally refined fine mesh): only the finest level
+    gets the mask, coarser levels run unmasked — a preconditioner-quality
+    choice only."""
     spaces = [FESpace(m, degree) for m in meshes]
     if degree != 1 and fixed_fine is not None and np.any(fixed_fine):
         raise NotImplementedError(
@@ -350,7 +360,8 @@ def laplacian_levels(meshes: Sequence, degree: int,
     for s in spaces:
         cv = cell_values(s, n_q1d or degree + 1)
         K = np.einsum("cqlx,cqmx,cq->clm", cv.grad, cv.grad, cv.JxW)
-        if fixed_fine is not None:
+        if fixed_fine is not None and (fixed_prefix
+                                       or s is spaces[-1]):
             fx = np.asarray(fixed_fine)[:s.n_nodes]
         else:
             fx = np.zeros(s.n_nodes, dtype=bool)
@@ -364,11 +375,14 @@ def laplacian_levels(meshes: Sequence, degree: int,
 
 
 def make_pressure_mg(meshes: Sequence, fixed_fine=None, n_smooth: int = 2,
-                     dtype=jnp.float32) -> GeometricMG:
-    """V-cycle for the pressure Schur complement B diag(Mu)^-1 B^T, which
-    is spectrally a pressure Laplacian (the constant scaling is absorbed by
-    the per-level Chebyshev eigenvalue estimates)."""
-    return GeometricMG(laplacian_levels(meshes, 1, fixed_fine, dtype),
+                     dtype=jnp.float32,
+                     fixed_prefix: bool = True) -> GeometricMG:
+    """V-cycle for the pressure Schur complement B diag(Mu)^-1 B^T (and
+    the SUPG family's Tpp), which is spectrally a pressure Laplacian (the
+    constant scaling is absorbed by the per-level Chebyshev eigenvalue
+    estimates).  fixed_prefix: see laplacian_levels."""
+    return GeometricMG(laplacian_levels(meshes, 1, fixed_fine, dtype,
+                                        fixed_prefix=fixed_prefix),
                        n_smooth=n_smooth, dtype=dtype)
 
 

@@ -75,11 +75,16 @@ class InsIM(FluidSolverBase):
         assert (self.params.fluid_velocity_degree -
                 self.params.fluid_pressure_degree) == 1, \
             "Velocity degree must be one higher than pressure (Taylor-Hood)"
+        # attached V-cycles are built against the OLD mesh's shape tables;
+        # drop them (re-enable with a fresh hierarchy after setup)
+        self._pressure_mg = None
+        self._velocity_mg = None
         super().setup()
         self._precompute()
 
     # ------------------------------------------------------------------
-    def enable_pressure_mg(self, meshes, n_smooth: int = 2):
+    def enable_pressure_mg(self, meshes, n_smooth: int = 2,
+                       fixed_prefix: bool = True):
         """Attach a geometric V-cycle (la/multigrid.py) as the inner
         preconditioner of the mass-Schur CG.  `meshes` is the nested
         refine_global hierarchy, coarsest first, finest == self.mesh.
@@ -98,7 +103,9 @@ class InsIM(FluidSolverBase):
             f"{self.params.fluid_pressure_degree}")
         pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
         fixed = np.asarray(self.p_constraints.fixed)
-        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt)
+        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt,
+                                     fixed_prefix=fixed_prefix)
+        self._newton_iter = jax.jit(self._newton_iter_impl)
 
     def enable_velocity_mg(self, meshes, n_smooth: int = 2):
         """Attach a vector V-cycle as the preconditioner of the inner
@@ -117,6 +124,7 @@ class InsIM(FluidSolverBase):
             meshes, params.fluid_velocity_degree, self.dim,
             params.fluid_rho, params.viscosity, params.grad_div,
             float(self.time.get_delta_t()), fixed, n_smooth, pdt)
+        self._newton_iter = jax.jit(self._newton_iter_impl)
 
     # ------------------------------------------------------------------
     def _precompute(self):

@@ -55,8 +55,27 @@ class SUPGFluidSolver(FluidSolverBase):
     f32_matrix = False
 
     def setup(self):
+        # a previously attached V-cycle is built against the OLD mesh's
+        # shape tables; drop it (re-enable with a fresh hierarchy after)
+        self._pressure_mg = None
         super().setup()
         self._precompute()
+
+    def _refine_setup_with_mg(self):
+        """Apply the prm's global refinement, keeping the intermediate
+        meshes as the V-cycle hierarchy for the Tpp preconditioner (see
+        enable_pressure_mg; pure preconditioner, converged solutions
+        unchanged).  Shared by run()/run_on_device()."""
+        gr = self.params.global_refinements[0]
+        meshes = [self.mesh]
+        for _ in range(gr):
+            meshes.append(meshes[-1].refine_global(1))
+        self.mesh = meshes[-1]
+        if self.hard_coded_bcs:
+            self.bc_time += self.time.get_delta_t()
+        self.setup()
+        if gr >= 1 and self.params.fluid_pressure_degree == 1:
+            self.enable_pressure_mg(meshes)
 
     # ------------------------------------------------------------------
     def _precompute(self):
@@ -133,6 +152,37 @@ class SUPGFluidSolver(FluidSolverBase):
         """reference: source/mpi_fluid_solver.cpp:93-103 (must be called
         before setup)."""
         self.sigma_pml_field = fn
+
+    def enable_pressure_mg(self, meshes, n_smooth: int = 2,
+                       fixed_prefix: bool = True):
+        """Attach a geometric V-cycle as the preconditioner of the Tpp
+        inner GMRES, replacing the cell-local B2pp diagonal surrogate.
+
+        Tpp = App - Apv Pvv^-1 Avp is spectrally a pressure Laplacian
+        (PSPG tau_p grad q . grad p plus the mass-scaled Schur product),
+        which a diagonal cannot precondition mesh-independently: measured
+        at fluid_cylinder_mpi_scnsim refine=3, the first Newton's Tpp
+        GMRES hits its 400-iteration cap with the diagonal vs O(10) with
+        the V-cycle.  The reference gets the same effect from ILU(0) of
+        the assembled B2pp (source/mpi_supg_solver.cpp:56-133), which has
+        no TPU mapping.  Preconditioner-only: the outer solve is flexible,
+        so the converged solution is unchanged.
+
+        `meshes`: nested hierarchy, coarsest first, finest == self.mesh
+        (locally refined finest levels use the geometric-prolongation
+        fallback in la/multigrid.py)."""
+        from ...la.multigrid import make_pressure_mg
+        assert meshes[-1].n_cells == self.mesh.n_cells, \
+            "finest hierarchy level must be the solver mesh"
+        assert self.params.fluid_pressure_degree == 1, \
+            "pressure V-cycle assumes a Q1 pressure space"
+        pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
+        fixed = np.asarray(self.p_constraints.fixed)
+        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt,
+                                     fixed_prefix=fixed_prefix)
+        # fresh jit so a trace cached before enabling cannot keep the
+        # diagonal-surrogate path baked in
+        self._newton_iter = jax.jit(self._newton_iter_impl)
 
     def _neumann_rhs(self):
         params = self.params
@@ -250,6 +300,10 @@ class SUPGFluidSolver(FluidSolverBase):
         b2pp_diag = jnp.where(pcons.fixed, 1.0, b2pp_diag)
         b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
                              1.0)
+        # V-cycle B2pp preconditioner when a hierarchy is attached
+        # (enable_pressure_mg); diagonal surrogate otherwise
+        mg = getattr(self, "_pressure_mg", None)
+        tpp_M = mg.vcycle if mg is not None else (lambda r: r * b2pp_inv)
 
         def _apply(v, with_stats):
             out_dtype = v.dtype
@@ -263,7 +317,7 @@ class SUPGFluidSolver(FluidSolverBase):
             alpha = jnp.where(denom != 0, jnp.vdot(ptmp, c) / denom, 0.0)
             x0 = alpha * c
             atol = 1e-3 * jnp.linalg.norm(ptmp)
-            tpp = fgmres(Tpp, ptmp, x0=x0, M=lambda r: r * b2pp_inv,
+            tpp = fgmres(Tpp, ptmp, x0=x0, M=tpp_M,
                          atol=atol, restart=self.tpp_restart,
                          max_restarts=self.tpp_max_restarts)
             dst_p = tpp.x
@@ -481,11 +535,7 @@ class SUPGFluidSolver(FluidSolverBase):
         if getattr(self, "turbulence_model", None) is not None:
             return self.run(verbose=verbose)
         if not self._setup_done:
-            self.mesh = self.mesh.refine_global(
-                self.params.global_refinements[0])
-            if self.hard_coded_bcs:
-                self.bc_time += self.time.get_delta_t()
-            self.setup()
+            self._refine_setup_with_mg()
             self._setup_done = True
         dt = self.time.get_delta_t()
         n = int(round((self.time.end() - self.time.current()) / dt))
@@ -572,11 +622,7 @@ class SUPGFluidSolver(FluidSolverBase):
         constraints every step; an attached turbulence model steps before
         the fluid, :458-468)."""
         if not self._setup_done:
-            self.mesh = self.mesh.refine_global(
-                self.params.global_refinements[0])
-            if self.hard_coded_bcs:
-                self.bc_time += self.time.get_delta_t()
-            self.setup()
+            self._refine_setup_with_mg()
         tm = getattr(self, "turbulence_model", None)
         if tm is not None and not hasattr(tm, "space"):
             tm.setup()
