@@ -299,6 +299,14 @@ def bench_fsi_leaflet(n_steps=20):
         mixed_precision_precond = True
         mp_sm_rtol = 1e-1
         f32_matrix = True
+        # inexact-Newton forcing (insim.py newton_forcing): linear solves
+        # only to what the Newton target (fluid_tolerance, rel to r_0)
+        # can observe; the converged-check solve costs one matvec
+        newton_forcing = (1e-4, 0.5)
+
+    # throughput bench: no per-step VTU writes (the reference prm's
+    # output interval == dt; solver throughput is what the metric is)
+    p.output_interval = 1e9
 
     fluid_mesh = generators.subdivided_hyper_rectangle(
         [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
@@ -315,8 +323,8 @@ def bench_fsi_leaflet(n_steps=20):
     p.end_time = (warmup + n_steps) * p.time_step
     fsi = FSI(fluid, solid, p, use_dirichlet_bc=True)
 
-    # same loop as FSI.run (fsi/fsi.py:246-291), with a timing mark after
-    # the warmup steps (compile amortization)
+    # same loop as FSI.run (fused coupled device step for non-first
+    # steps), with a timing mark after the warmup steps
     solid.mesh = solid.mesh.refine_global(p.global_refinements[1])
     solid.setup()
     fluid.mesh = fluid.mesh.refine_global(p.global_refinements[0])
@@ -329,11 +337,14 @@ def bench_fsi_leaflet(n_steps=20):
     while fsi.time.end() - fsi.time.current() > 1e-12:
         if step_i == warmup:
             t0 = time.time()
-        fsi.find_solid_bc()
-        solid.run_one_step(first_step)
-        fsi.update_solid_box_and_indicator()
-        zero_ext, nonzero_ext = fsi.find_fluid_bc(first_step)
-        fsi._run_fluid_step(zero_ext, nonzero_ext, verbose=False)
+        if first_step:
+            fsi.find_solid_bc()
+            solid.run_one_step(first_step)
+            fsi.update_solid_box_and_indicator()
+            zero_ext, nonzero_ext = fsi.find_fluid_bc(first_step)
+            fsi._run_fluid_step(zero_ext, nonzero_ext, verbose=False)
+        else:
+            fsi.run_one_coupled_step(verbose=False)
         newtons.append(int(getattr(fluid, "newton_iters", 0)))
         first_step = False
         fsi.time.increment()
@@ -351,21 +362,34 @@ def bench_fsi_leaflet(n_steps=20):
     }, value
 
 
-def bench_fsi_wall_3d(n_steps=5):
-    """fsi-wall-3D (north-star #5): 3D SCnsIM + SharedHypoElasticity
-    (RKPM) + MPI-semantics FSI at half the reference resolution
-    (reference: tests/fsi-wall-3D/fsi-wall-3D.cpp:29-60)."""
+def bench_fsi_wall_3d(n_steps=10, full_res=True):
+    """fsi-wall-3D (north-star #5) at the FULL reference resolution:
+    3D SCnsIM + SharedHypoElasticity (RKPM) + MPI-semantics FSI, fused
+    coupled device step (reference: tests/fsi-wall-3D/fsi-wall-3D.cpp:
+    34-62 — fluid 10x10x40 box locally refined on z in [2, 2.4], solid
+    20x20x8, dx=0.05, hdx=1.3)."""
     from openifem_tpu.fsi.mpi_fsi import MPIFSI
     from openifem_tpu.mesh import generators
     from openifem_tpu.parameters import AllParameters
     from openifem_tpu.solvers.fluid.supg import SCnsIM
     from openifem_tpu.solvers.solid import SharedHypoElasticity
 
+    class BenchSCnsIM(SCnsIM):
+        mixed_precision_precond = True
+        f32_matrix = True
+        newton_forcing = (1e-4, 0.5)
+
     p = AllParameters.from_file(
         "/root/reference/tests/fsi-wall-3D/fsi-wall-3D.prm")
+    p.output_interval = 1e9   # solver throughput, not VTU writes
     warmup = 2
     p.end_time = (warmup + n_steps) * p.time_step
-    fluid_reps, solid_reps = [5, 5, 20], [10, 10, 4]
+    if full_res:
+        fluid_reps, solid_reps, dx = [10, 10, 40], [20, 20, 8], 0.05
+    else:
+        fluid_reps, solid_reps, dx = [5, 5, 20], [10, 10, 4], 0.1
+    base = generators.subdivided_hyper_rectangle(
+        [r // 2 for r in fluid_reps], [0, 0, 0], [1, 1, 4])
     fm = generators.subdivided_hyper_rectangle(fluid_reps, [0, 0, 0],
                                                [1, 1, 4])
     c = fm.cell_centers()
@@ -373,9 +397,12 @@ def bench_fsi_wall_3d(n_steps=5):
     sm = generators.subdivided_hyper_rectangle(solid_reps, [0, 0, 0],
                                                [1, 1, 0.4])
     sm.vertices[:, 2] += 2.0
-    fluid = SCnsIM(fm, p)
-    solid = SharedHypoElasticity(sm, p, dx=1.0 / solid_reps[0], hdx=1.3)
+    fluid = BenchSCnsIM(fm, p)
+    solid = SharedHypoElasticity(sm, p, dx=dx, hdx=1.3)
     fsi = MPIFSI(fluid, solid, p)
+    # geometric pressure hierarchy for the Tpp inner GMRES (the mesh is a
+    # locally refined box, so the bases nest geometrically)
+    fsi.fluid_mg_base = [base]
 
     # MPIFSI.run with a timing mark (fsi/mpi_fsi.py run loop)
     times = {"t0": time.time()}
@@ -392,11 +419,13 @@ def bench_fsi_wall_3d(n_steps=5):
     n_dofs = fluid.n_dofs + solid.n_dofs
     value = n_dofs * n_steps / elapsed / 1e6
     return {
-        "case": "fsi_wall_3d_half_res",
+        "case": "fsi_wall_3d" + ("" if full_res else "_half_res"),
         "n_dofs": int(n_dofs),
         "timed_steps": n_steps,
         "ms_per_step": round(elapsed / n_steps * 1e3, 1),
         "mdof_steps_per_s": round(value, 6),
+        "fluid_newton_iters_last_step": int(
+            getattr(fluid, "newton_iters", 0)),
     }, value
 
 

@@ -136,6 +136,16 @@ class FSI:
     # provides one (make_fsi_step); set device_fluid_stepping = False for
     # the instrumented host path (same converged solution either way)
     device_fluid_stepping = True
+    # whole-step fusion (make_coupled_step): solid + coupling + fluid in
+    # ONE dispatch per time step for non-first steps, when both solvers
+    # support it; False falls back to the per-phase loop
+    fused_coupled_stepping = True
+
+    def _can_fuse_step(self):
+        return (self.fused_coupled_stepping
+                and hasattr(self.fluid, "make_fsi_step")
+                and hasattr(self.solid, "_device_step_impl")
+                and getattr(self.fluid, "turbulence_model", None) is None)
 
     def _run_fluid_step(self, zero_ext, nonzero_ext, verbose):
         fluid = self.fluid
@@ -189,6 +199,105 @@ class FSI:
         fluid._end_of_step_io()
 
 
+    # ------------------------------------------------------------------
+    # fully-fused coupled step: solid traction -> solid Newton -> indicator
+    # -> FSI fluid constraints -> fluid Newton, ONE jitted dispatch per
+    # time step (the reference loop makes the same sequence of calls per
+    # step, source/fsi.cpp:484-506; here the host only does time/IO
+    # bookkeeping).  Requires a fluid solver with make_fsi_step and a
+    # solid solver with _device_step_impl; non-first steps only (the
+    # first step applies inflow inhomogeneities and the solid initial-
+    # acceleration mass solve on the host path).
+    def make_coupled_step(self):
+        fluid, solid = self.fluid, self.solid
+        k = self._kernels
+        fluid_step = fluid.make_fsi_step()
+        dirichlet = self.use_dirichlet_bc
+        n_sv, d = self._n_sv, fluid.dim
+        rdt = real_dtype()
+        from ..solvers.fluid.supg import SUPGFluidSolver
+        is_supg = isinstance(fluid, SUPGFluidSolver)
+
+        @jax.jit
+        def step(s_disp, s_vel, s_acc, f_sol, f_stress):
+            moved = self._solid_ref_verts + s_disp[:n_sv * d].reshape(
+                n_sv, d)
+            traction = k.solid_traction(moved, f_sol, f_stress)
+            trhs = solid._fsi_traction_rhs_impl(traction)
+            disp2, v2, a2, s_it = solid._device_step_impl(
+                s_disp, s_vel, s_acc, trhs)
+            moved2 = self._solid_ref_verts + disp2[:n_sv * d].reshape(
+                n_sv, d)
+            indicator = k.indicator(moved2).astype(rdt)
+
+            n = fluid.n_dofs
+            acc_nodal = jnp.zeros(fluid.n_u, dtype=rdt).reshape(-1, d)
+            if dirichlet:
+                fsi_acc = jnp.zeros((fluid.mesh.n_cells, d), dtype=rdt)
+                mask_u, vals_u = k.dirichlet_bc(moved2, v2)
+                mask = jnp.zeros(n, dtype=bool).at[:fluid.n_u].set(
+                    mask_u.reshape(-1))
+                vals = jnp.zeros(n, dtype=rdt).at[:fluid.n_u].set(
+                    vals_u.reshape(-1))
+                vals = vals - jnp.where(mask, f_sol, 0.0)
+                zero_ext = fluid.zero_constraints.with_extra_dirichlet(
+                    mask, jnp.zeros_like(vals))
+                nonzero_ext = fluid.zero_constraints.with_extra_dirichlet(
+                    mask, vals)
+            else:
+                fsi_acc = k.fsi_acceleration(moved2, a2, indicator)
+                zero_ext = fluid.zero_constraints
+                nonzero_ext = fluid.zero_constraints
+            ucons = fluid._u_cons_of(zero_ext)
+            if is_supg:
+                eddy = jnp.zeros(fluid.u_space.n_nodes, dtype=rdt)
+                sol2, stress2, rel, f_it = fluid_step(
+                    f_sol, indicator, acc_nodal, fluid.fsi_stress_nodal,
+                    f_stress, eddy, zero_ext, nonzero_ext, ucons,
+                    fluid.p_constraints)
+            else:
+                stress_cell = jnp.zeros_like(fluid.fsi_stress_cell)
+                sol2, stress2, rel, f_it = fluid_step(
+                    f_sol, indicator, fsi_acc, stress_cell, acc_nodal,
+                    zero_ext, nonzero_ext, ucons, fluid.p_constraints)
+            return disp2, v2, a2, sol2, stress2, indicator, rel, f_it, s_it
+
+        return step
+
+    def run_one_coupled_step(self, verbose: bool = False):
+        """Advance one (non-first) FSI step through the fused dispatch and
+        update both solvers' host-side state + IO epilogues."""
+        fluid, solid = self.fluid, self.solid
+        if getattr(self, "_coupled_step_mesh", None) is not fluid.mesh:
+            self._coupled_step = self.make_coupled_step()
+            self._coupled_step_mesh = fluid.mesh
+        self._check_solid_hash_capacity(self._solid_moved_verts())
+        (disp2, v2, a2, sol2, stress2, indicator, rel, f_it,
+         s_it) = self._coupled_step(
+            solid.current_displacement, solid.current_velocity,
+            solid.current_acceleration, fluid.present_solution,
+            fluid.stress_device)
+        if int(s_it) >= self.params.solid_max_iterations or \
+                float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many Newton iterations!")
+        solid.current_displacement = solid.previous_displacement = disp2
+        solid.current_velocity = solid.previous_velocity = v2
+        solid.current_acceleration = solid.previous_acceleration = a2
+        solid.newton_iters = int(s_it)
+        solid.time.increment()
+        fluid.indicator = indicator
+        fluid.solution_increment = sol2 - fluid.present_solution
+        fluid.present_solution = sol2
+        fluid.stress_device = stress2
+        fluid.newton_iters = int(f_it)
+        fluid.time.increment()
+        if verbose:
+            print(f"*** Time step = {fluid.time.get_timestep()}, at t = "
+                  f"{fluid.time.current():.6e} (coupled device step): "
+                  f"solid {int(s_it)} / fluid {int(f_it)} Newton iters")
+        solid._end_of_step_io(False)
+        fluid._end_of_step_io()
+
     def _check_solid_hash_capacity(self, moved):
         """The solid hash was planned on the reference config with 2x
         headroom; verify the DEFORMED config still fits the static
@@ -215,7 +324,13 @@ class FSI:
                                      fluid.indicator)
             fluid.fsi_acceleration = acc
             fluid.fsi_stress_cell = jnp.zeros_like(fluid.fsi_stress_cell)
-            return None, None
+            # after the first step the reference REPLACES the nonzero
+            # constraint set with the zero one (fsi.cpp:494-499), so the
+            # boundary inhomogeneities are applied exactly once — without
+            # this, apply_increment would re-add the inflow value every
+            # step in body-force mode
+            return None, (fluid.nonzero_constraints if first_step
+                          else fluid.zero_constraints)
         else:
             fluid.fsi_acceleration = jnp.zeros_like(fluid.fsi_acceleration)
             fluid.fsi_stress_cell = jnp.zeros_like(fluid.fsi_stress_cell)
@@ -356,6 +471,16 @@ class FSI:
         self.timer = Timer("FSI")
         first_step = True
         while self.time.end() - self.time.current() > 1e-12:
+            if not first_step and self._can_fuse_step():
+                with self.timer.scope("Coupled device step"):
+                    self.run_one_coupled_step(verbose)
+                self.time.increment()
+                if self.time.time_to_refine():
+                    gr = params.global_refinements[0]
+                    self.refine_mesh(gr, gr + 1, verbose=verbose)
+                if self.time.time_to_save():
+                    self.save_checkpoint()
+                continue
             with self.timer.scope("Find solid BC"):
                 self.find_solid_bc()
             with self.timer.scope("Run solid solver"):

@@ -34,6 +34,87 @@ class MPIFSI(FSI):
         self.penetration_criterion = None
         self.penetration_direction = None
 
+    def _can_fuse_step(self):
+        # fused MPI coupled step: body-force mode with an RKPM solid
+        # (SharedHypoElasticity, the fsi-wall-3D stack) and a fluid with a
+        # device FSI step; contact / turbulence / Dirichlet mode use the
+        # per-phase host loop
+        return (self.fused_coupled_stepping
+                and not self.use_dirichlet_bc
+                and self.penetration_criterion is None
+                and getattr(self, "_tm", None) is None
+                and hasattr(self.fluid, "make_fsi_step")
+                and hasattr(self.solid, "_rk4_step_impl")
+                and hasattr(self.solid, "_nodal_stress_impl"))
+
+    def make_coupled_step(self):
+        """fsi-wall-3D per-step sequence as ONE jitted dispatch
+        (reference loop: source/mpi_fsi.cpp:1180-1213): solid_bc_rows ->
+        RKPM RK4 step -> all-vertices indicator -> nodal fsi_stress /
+        fsi_acc fields -> SUPG-family fluid Newton."""
+        fluid, solid = self.fluid, self.solid
+        k = self._mpi_kernels
+        fluid_step = fluid.make_fsi_step()
+        rdt = real_dtype()
+        d = fluid.dim
+        ref_verts = jnp.asarray(solid.mesh.vertices, dtype=rdt)
+        from ..solvers.fluid.supg import SUPGFluidSolver
+        assert isinstance(fluid, SUPGFluidSolver), \
+            "fused MPI step currently supports the SUPG family fluid"
+
+        @jax.jit
+        def step(s_x, s_v, s_sigma, f_sol, f_stress):
+            s_disp = (s_x - ref_verts).reshape(-1)
+            rows, _, _ = k.solid_bc_rows(s_disp, f_sol, f_stress)
+            x2, v2, sig2, a2 = solid._device_step_impl(
+                s_x, s_v, s_sigma, rows.astype(rdt))
+            indicator = k.indicator_all_vertices(x2).astype(rdt)
+            solid_stress_nodal = solid._nodal_stress_impl(sig2)
+            fsi_stress_nodal = k.fsi_stress_nodal(
+                x2, f_stress, solid_stress_nodal, indicator)
+            fsi_acc_nodal = k.fsi_acc_nodal(
+                x2, f_sol, v2.reshape(-1), a2.reshape(-1), indicator)
+            eddy = jnp.zeros(fluid.u_space.n_nodes, dtype=rdt)
+            zc = fluid.zero_constraints
+            sol2, f_stress2, rel, f_it = fluid_step(
+                f_sol, indicator, fsi_acc_nodal, fsi_stress_nodal,
+                f_stress, eddy, zc, zc, fluid.u_constraints,
+                fluid.p_constraints)
+            return (x2, v2, sig2, a2, sol2, f_stress2, indicator,
+                    fsi_stress_nodal, fsi_acc_nodal, rel, f_it)
+
+        return step
+
+    def run_one_coupled_step(self, verbose: bool = False):
+        fluid, solid = self.fluid, self.solid
+        if getattr(self, "_coupled_step_mesh", None) is not fluid.mesh:
+            self._coupled_step = self.make_coupled_step()
+            self._coupled_step_mesh = fluid.mesh
+        self._check_solid_hash_capacity(solid.moved_vertex_coords())
+        (x2, v2, sig2, a2, sol2, f_stress2, indicator, fsi_stress_nodal,
+         fsi_acc_nodal, rel, f_it) = self._coupled_step(
+            solid.x, solid.v, solid.sigma, fluid.present_solution,
+            fluid.stress_device)
+        if float(rel) > self.params.fluid_tolerance:
+            raise RuntimeError("Too many Newton iterations!")
+        solid.x, solid.v, solid.sigma, solid._acc = x2, v2, sig2, a2
+        solid._sync()
+        solid.time.increment()
+        fluid.indicator = indicator
+        fluid.fsi_stress_nodal = fsi_stress_nodal
+        fluid.fsi_acc_nodal = fsi_acc_nodal
+        fluid.solution_increment = sol2 - fluid.present_solution
+        fluid.present_solution = sol2
+        fluid.stress_device = f_stress2
+        fluid.newton_iters = int(f_it)
+        fluid.time.increment()
+        if verbose:
+            print(f"*** Time step = {fluid.time.get_timestep()}, at t = "
+                  f"{fluid.time.current():.6e} (coupled device step): "
+                  f"fluid {int(f_it)} Newton iters")
+        solid._end_of_step_io(False)
+        fluid._end_of_step_io()
+
     def set_penetration_criterion(self, criterion, direction):
         """criterion(points (n,dim)) -> (n,) penetration depth; direction:
         contact force direction (reference: source/mpi_fsi.cpp:1229-1237)."""
@@ -143,7 +224,11 @@ class MPIFSI(FSI):
                 moved, fluid.present_solution, solid.current_velocity,
                 solid.current_acceleration, fluid.indicator)
             fluid.fsi_acceleration = jnp.zeros_like(fluid.fsi_acceleration)
-            return None, None
+            # nonzero inhomogeneities apply exactly once (the reference
+            # copies zero_constraints over nonzero_constraints after the
+            # first step, mpi_fsi.cpp:1193-1197)
+            return None, (fluid.nonzero_constraints if first_step
+                          else fluid.zero_constraints)
         else:
             fluid.fsi_acc_nodal = jnp.zeros_like(fluid.fsi_acc_nodal)
             mask_u, vals_u = k.dirichlet_bc_mpi(moved, solid.current_velocity)
@@ -325,6 +410,15 @@ class MPIFSI(FSI):
         self.timer = getattr(self, "timer", None) or Timer("MPIFSI")
         first_step = not success_load
         while self.time.end() - self.time.current() > 1e-12:
+            if not first_step and self._can_fuse_step():
+                with self.timer.scope("Coupled device step"):
+                    self.run_one_coupled_step(verbose)
+                self.time.increment()
+                if self.time.time_to_refine():
+                    self.refine_mesh(gr, gr + 3, verbose=verbose)
+                if self.time.time_to_save():
+                    self.save_checkpoint()
+                continue
             with self.timer.scope("Find solid BC"):
                 self.find_solid_bc()
             with self.timer.scope("Run solid solver"):

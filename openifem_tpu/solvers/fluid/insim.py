@@ -474,11 +474,14 @@ class InsIM(FluidSolverBase):
 
     # ------------------------------------------------------------------
     def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc,
-                          fsi_stress, fsi_acc_nodal, cons, ucons, pcons):
+                          fsi_stress, fsi_acc_nodal, cons, ucons, pcons,
+                          res0=None):
         A_loc, rhs = self._assemble(eval_pt, present, indicator, fsi_acc,
                                     fsi_stress, fsi_acc_nodal)
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
+        atol = self._outer_atol(res_norm, res0,
+                                jnp.maximum(1e-8 * res_norm, 1e-10))
 
         nlu = self.nu_loc // self.dim
         if self.f32_matrix:
@@ -500,7 +503,6 @@ class InsIM(FluidSolverBase):
 
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
-        atol = jnp.maximum(1e-8 * res_norm, 1e-10)
         res = fgmres(op, b, M=precond, atol=atol,
                      restart=self.outer_restart,
                      max_restarts=self.outer_max_restarts)
@@ -525,10 +527,11 @@ class InsIM(FluidSolverBase):
         tol = params.fluid_tolerance
         max_it = params.fluid_max_iterations
 
-        def newton_once(eval_pt, present):
+        def newton_once(eval_pt, present, res0=None):
             du, rn, its, _ = self._newton_iter_impl(
                 eval_pt, present, self.indicator, self.fsi_acceleration,
-                self.fsi_stress_cell, self.fsi_acc_nodal, cons, ucons, pcons)
+                self.fsi_stress_cell, self.fsi_acc_nodal, cons, ucons, pcons,
+                res0=res0)
             return eval_pt + du, rn, its
 
         def one_step(present):
@@ -548,7 +551,7 @@ class InsIM(FluidSolverBase):
 
             def body(s):
                 eval_pt, it, res, prev, last_its = s
-                eval_new, rn, its = newton_once(eval_pt, present)
+                eval_new, rn, its = newton_once(eval_pt, present, res0)
                 return (eval_new, it + 1, rn, res, its)
 
             eval_pt, it, res, prev, last_its = lax.while_loop(
@@ -590,10 +593,10 @@ class InsIM(FluidSolverBase):
         @jax.jit
         def step(present, indicator, fsi_acc, fsi_stress, fsi_acc_nodal,
                  zero_cons, nonzero_cons, ucons, pcons):
-            def newton_once(eval_pt):
+            def newton_once(eval_pt, res0=None):
                 du, rn, its, _ = self._newton_iter_impl(
                     eval_pt, present, indicator, fsi_acc, fsi_stress,
-                    fsi_acc_nodal, zero_cons, ucons, pcons)
+                    fsi_acc_nodal, zero_cons, ucons, pcons, res0=res0)
                 return eval_pt + du, rn, its
 
             eval_pt = nonzero_cons.apply_increment(present)
@@ -612,7 +615,7 @@ class InsIM(FluidSolverBase):
 
             def body(s):
                 e, it, res, prev, last_its = s
-                e2, rn, its = newton_once(e)
+                e2, rn, its = newton_once(e, res0)
                 return (e2, it + 1, rn, res, its)
 
             eval_pt, it, res, prev, last_its = lax.while_loop(
@@ -649,11 +652,14 @@ class InsIM(FluidSolverBase):
             if it >= params.fluid_max_iterations:
                 raise RuntimeError("Too many Newton iterations!")
             with self.timer.scope("Assemble + solve (Newton iter)"):
+                r0 = jnp.asarray(initial_res if it > 0 else jnp.inf,
+                                 dtype=real_dtype())
                 du, res_norm, gmres_iters, gmres_res = self._newton_iter(
                     eval_pt, self.present_solution, self.indicator,
                     self.fsi_acceleration, self.fsi_stress_cell,
                     self.fsi_acc_nodal, zero_cons,
-                    self._u_cons_of(zero_cons), self.p_constraints)
+                    self._u_cons_of(zero_cons), self.p_constraints,
+                    res0=r0)
                 current_res = float(res_norm)
             if (prev_res is not None and int(gmres_iters) == 0
                     and current_res >= prev_res * (1 - 1e-12)):

@@ -339,7 +339,7 @@ class SUPGFluidSolver(FluidSolverBase):
     # ------------------------------------------------------------------
     def _newton_iter_impl(self, eval_pt, present, indicator, fsi_acc_nodal,
                           fsi_stress_nodal, stress_nodal, eddy_nu, cons,
-                          ucons, pcons):
+                          ucons, pcons, res0=None):
         A_loc, rhs = self._assemble(eval_pt, present, indicator,
                                     fsi_acc_nodal, fsi_stress_nodal,
                                     stress_nodal, eddy_nu)
@@ -361,7 +361,7 @@ class SUPGFluidSolver(FluidSolverBase):
                     self.dim, self.n_u, self.n_p, x)
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
-        atol = self.outer_rtol * res_norm
+        atol = self._outer_atol(res_norm, res0, self.outer_rtol * res_norm)
         res = fgmres(op, b, M=precond, atol=atol,
                      restart=self.outer_restart,
                      max_restarts=self.outer_max_restarts)
@@ -413,11 +413,11 @@ class SUPGFluidSolver(FluidSolverBase):
             eddy0 = jnp.zeros(self.u_space.n_nodes, dtype=real_dtype())
         nz = self.nonzero_constraints
 
-        def newton_once(eval_pt, present, stress_nodal):
+        def newton_once(eval_pt, present, stress_nodal, res0=None):
             du, rn, its, _ = self._newton_iter_impl(
                 eval_pt, present, self.indicator, self.fsi_acc_nodal,
                 self.fsi_stress_nodal, stress_nodal, eddy0, cons, ucons,
-                pcons)
+                pcons, res0=res0)
             return eval_pt + du, rn, its
 
         def one_step(present, stress_nodal, bc_delta):
@@ -443,7 +443,7 @@ class SUPGFluidSolver(FluidSolverBase):
 
             def body(s):
                 e, it, res, prev, last_its = s
-                e2, rn, its = newton_once(e, present, stress_nodal)
+                e2, rn, its = newton_once(e, present, stress_nodal, res0)
                 return (e2, it + 1, rn, res, its)
 
             eval_pt, it, res, prev, last_its = lax.while_loop(
@@ -485,11 +485,11 @@ class SUPGFluidSolver(FluidSolverBase):
         def step(present, indicator, fsi_acc_nodal, fsi_stress_nodal,
                  stress_nodal, eddy_nu, zero_cons, nonzero_cons, ucons,
                  pcons):
-            def newton_once(eval_pt):
+            def newton_once(eval_pt, res0=None):
                 du, rn, its, _ = self._newton_iter_impl(
                     eval_pt, present, indicator, fsi_acc_nodal,
                     fsi_stress_nodal, stress_nodal, eddy_nu, zero_cons,
-                    ucons, pcons)
+                    ucons, pcons, res0=res0)
                 return eval_pt + du, rn, its
 
             eval_pt = nonzero_cons.apply_increment(present)
@@ -508,7 +508,7 @@ class SUPGFluidSolver(FluidSolverBase):
 
             def body(s):
                 e, it, res, prev, last_its = s
-                e2, rn, its = newton_once(e)
+                e2, rn, its = newton_once(e, res0)
                 return (e2, it + 1, rn, res, its)
 
             eval_pt, it, res, prev, last_its = lax.while_loop(
@@ -590,11 +590,13 @@ class SUPGFluidSolver(FluidSolverBase):
         while rel_res > params.fluid_tolerance and current_res > 1e-14:
             if it >= params.fluid_max_iterations:
                 raise RuntimeError("Too many Newton iterations!")
+            r0 = jnp.asarray(initial_res if it > 0 else jnp.inf,
+                             dtype=real_dtype())
             du, res_norm, iters, gres = self._newton_iter(
                 eval_pt, self.present_solution, self.indicator,
                 self.fsi_acc_nodal, self.fsi_stress_nodal,
                 self.stress_device, eddy, zero_cons,
-                self._u_cons_of(zero_cons), self.p_constraints)
+                self._u_cons_of(zero_cons), self.p_constraints, res0=r0)
             current_res = float(res_norm)
             if (prev_res is not None and int(iters) == 0
                     and current_res >= prev_res * (1 - 1e-12)):

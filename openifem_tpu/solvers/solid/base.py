@@ -296,6 +296,15 @@ class SolidSolverBase:
                     t[i, :, :] = np.asarray(fv.normals[i]) * val[0]
         return jnp.asarray(t, dtype=real_dtype())
 
+    def _fsi_traction_rhs_impl(self, traction):
+        """FSI per-face traction -> global rhs (jittable; the device-fused
+        FSI step feeds the coupling kernel's traction straight in)."""
+        fv = self.fv
+        t = traction * self._fsi_face_mask[:, None]
+        tq = jnp.broadcast_to(t[:, None, :],
+                              (len(fv.cells), fv.JxW.shape[1], self.dim))
+        return self.traction_rhs(tq)
+
     def traction_rhs(self, traction_q):
         """Assemble face traction into the global rhs.
 

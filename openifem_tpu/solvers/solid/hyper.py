@@ -108,11 +108,7 @@ class HyperElasticity(SolidSolverBase):
 
     def _external_traction_rhs(self):
         if self.params.simulation_type == "FSI":
-            fv = self.fv
-            t = self.fsi_traction * self._fsi_face_mask[:, None]
-            tq = jnp.broadcast_to(t[:, None, :],
-                                  (len(fv.cells), fv.JxW.shape[1], self.dim))
-            return self.traction_rhs(tq)
+            return self._fsi_traction_rhs_impl(self.fsi_traction)
         return self.traction_rhs(self._standalone_traction)
 
     def _newton_step_impl(self, disp, d_pred, v_prev, a_prev, traction_rhs):
@@ -143,6 +139,53 @@ class HyperElasticity(SolidSolverBase):
         return du, res_F, res.iters
 
     # ------------------------------------------------------------------
+    def _device_step_impl(self, disp0, v_prev, a_prev, traction_rhs):
+        """One Newmark time step with the Newton loop as a lax.while_loop —
+        the fused-device twin of run_one_step's host loop (identical
+        tolerances and stopping rules, reference:
+        source/hyper_elasticity.cpp:84-202).  Returns
+        (disp, vel, acc, newton_iters); callers must check
+        newton_iters < solid_max_iterations (the host loop raises)."""
+        from jax import lax
+        params = self.params
+        dt = self.time.get_delta_t()
+        gamma, beta = self._gamma, self._beta
+        cons = self.constraints
+        tol_d, tol_f = params.tol_d, params.tol_f
+        max_it = params.solid_max_iterations
+
+        d_pred = (disp0 + dt * v_prev + (0.5 - beta) * dt * dt * a_prev)
+
+        one = jnp.ones((), dtype=disp0.dtype)
+
+        def cond(s):
+            disp, it, norm_res, norm_upd, init_res, init_upd, \
+                err_res, err_upd = s
+            return (((norm_upd > tol_d) | (norm_res > tol_f)) &
+                    (err_res > 1e-12) & (err_upd > 1e-12) & (it < max_it))
+
+        def body(s):
+            disp, it, norm_res, norm_upd, init_res, init_upd, \
+                err_res, err_upd = s
+            du, res_F, _ = self._newton_step_impl(
+                disp, d_pred, v_prev, a_prev, traction_rhs)
+            err_res = res_F
+            err_upd = jnp.linalg.norm(cons.set_zero(du))
+            init_res = jnp.where(it == 0, jnp.maximum(err_res, 1e-300),
+                                 init_res)
+            init_upd = jnp.where(it == 0, jnp.maximum(err_upd, 1e-300),
+                                 init_upd)
+            disp = cons.distribute(disp + du)
+            return (disp, it + 1, err_res / init_res, err_upd / init_upd,
+                    init_res, init_upd, err_res, err_upd)
+
+        disp, it, *_ = lax.while_loop(
+            cond, body, (disp0, 0, one, one, one, one, one, one))
+
+        a_new = (disp - d_pred) / (beta * dt * dt)
+        v_new = v_prev + dt * ((1 - gamma) * a_prev + gamma * a_new)
+        return disp, v_new, a_new, it
+
     def run_one_step(self, first_step: bool):
         params = self.params
         dt = self.time.get_delta_t()

@@ -45,7 +45,7 @@ def cubic_spline(q):
 
 
 def rkpm_shapes(points, particles, h):
-    """Linear-consistency RKPM shape values and gradients.
+    """Linear-consistency RKPM shape values and gradients (dense).
 
     points: (n_q, d) evaluation points; particles: (n_p, d); h: smoothing
     length. Returns (psi (n_q, n_p), dpsi (n_q, n_p, d)) with
@@ -70,6 +70,59 @@ def rkpm_shapes(points, particles, h):
         # implicit-gradient RKPM: derivative reproducing condition
         dpsi[:, :, k] = np.einsum("qa,qpa,qp->qp", ck, P, w) / h
     return psi, dpsi
+
+
+def rkpm_shapes_sparse(points, particles, h, chunk: int = 2048):
+    """Sparse fixed-K RKPM tables: (idx (n_q, K), psi (n_q, K),
+    dpsi (n_q, K, d)).
+
+    The cubic-spline window has support radius 2h, so each evaluation
+    point sees only the O(1) particles within that ball; the dense
+    (n_q, n_p) tables the reference's rkpm-rk4 library builds are O(n^2)
+    in memory and FLOPs.  A STATIC per-point neighbor count K (the max
+    over points, shared so shapes are jit-stable) turns every RKPM
+    contraction into a gather + small einsum — the TPU-native layout.
+    Unused slots carry idx=0, psi=0 (exact zeros, so scatter-adds are
+    unaffected).  Identical values to rkpm_shapes on the shared support
+    (same moment-matrix correction, built per chunk)."""
+    n_q, d = points.shape
+    cut = 2.0 * h
+    # K = max number of particles within the window over all points
+    counts = np.zeros(n_q, dtype=np.int64)
+    for s in range(0, n_q, chunk):
+        e = min(s + chunk, n_q)
+        dist = np.linalg.norm(particles[None, :, :] -
+                              points[s:e, None, :], axis=-1)
+        counts[s:e] = (dist < cut).sum(axis=1)
+    K = int(counts.max())
+    idx = np.zeros((n_q, K), dtype=np.int64)
+    psi = np.zeros((n_q, K))
+    dpsi = np.zeros((n_q, K, d))
+    e0 = np.zeros(d + 1)
+    e0[0] = 1.0
+    eye = np.eye(d + 1)
+    for s in range(0, n_q, chunk):
+        e = min(s + chunk, n_q)
+        rel = (particles[None, :, :] - points[s:e, None, :]) / h
+        q = np.linalg.norm(rel, axis=-1)
+        inside = q < 2.0
+        # stable top-K selection: in-window particles first
+        order = np.argsort(~inside, axis=1, kind="stable")[:, :K]
+        ii = np.arange(e - s)[:, None]
+        rel_k = rel[ii, order]                      # (c, K, d)
+        w = cubic_spline(np.linalg.norm(rel_k, axis=-1))
+        w = np.where(inside[ii, order], w, 0.0)
+        P = np.concatenate([np.ones(rel_k.shape[:2] + (1,)), rel_k],
+                           axis=-1)
+        M = np.einsum("qka,qkb,qk->qab", P, P, w)
+        Minv = np.linalg.inv(M + 1e-12 * eye)
+        c0 = np.einsum("qab,b->qa", Minv, e0)
+        psi[s:e] = np.einsum("qa,qka,qk->qk", c0, P, w)
+        for k in range(d):
+            ck = np.einsum("qab,b->qa", Minv, eye[k + 1])
+            dpsi[s:e, :, k] = np.einsum("qa,qka,qk->qk", ck, P, w) / h
+        idx[s:e] = order
+    return idx, psi, dpsi
 
 
 class HypoElasticity:
@@ -106,10 +159,15 @@ class HypoElasticity:
         dx = float(np.mean(mesh.cell_diameters())) / np.sqrt(d)
         h = self.h_factor * dx
 
-        psi_q, dpsi_q = rkpm_shapes(qpts, X, h)
+        # sparse fixed-K RKPM tables (see rkpm_shapes_sparse): gathers +
+        # small einsums instead of the O(n_p * n_q) dense matmuls
+        idx_q, psi_q, dpsi_q = rkpm_shapes_sparse(qpts, X, h)
         # lumped particle masses from quadrature of the density
-        m = np.einsum("q,qp->p", qw * params.solid_rho, psi_q)
+        m = np.zeros(n_p)
+        np.add.at(m, idx_q.ravel(),
+                  ((qw * params.solid_rho)[:, None] * psi_q).ravel())
         self.mass = jnp.asarray(m, dtype=rdt)
+        self.idx_q = jnp.asarray(idx_q, dtype=jnp.int32)
         self.psi_q = jnp.asarray(psi_q, dtype=rdt)
         self.dpsi_q = jnp.asarray(dpsi_q, dtype=rdt)
         self.qw = jnp.asarray(qw, dtype=rdt)
@@ -117,7 +175,8 @@ class HypoElasticity:
         # boundary quadrature (for traction)
         if self.fv is not None:
             bq = self.fv.xq.reshape(-1, d)
-            psi_b, _ = rkpm_shapes(bq, X, h)
+            idx_b, psi_b, _ = rkpm_shapes_sparse(bq, X, h)
+            self.idx_b = jnp.asarray(idx_b, dtype=jnp.int32)
             self.psi_b = jnp.asarray(psi_b, dtype=rdt)
             self.bqw = jnp.asarray(self.fv.JxW.reshape(-1), dtype=rdt)
             self.fsi_traction = jnp.zeros((len(self.fv.cells), d), dtype=rdt)
@@ -153,7 +212,9 @@ class HypoElasticity:
         d = self.dim
         lam, mu = self._lam, self._mu
         # velocity gradient at quad points: L = sum_j v_j (x) dpsi_j
-        L = jnp.einsum("qpd,pa->qad", self.dpsi_q, v)
+        # (gather over the fixed-K neighbor lists)
+        v_g = v[self.idx_q]                                  # (q, K, a)
+        L = jnp.einsum("qkd,qka->qad", self.dpsi_q, v_g)
         eps_dot = 0.5 * (L + jnp.swapaxes(L, 1, 2))
         w_spin = 0.5 * (L - jnp.swapaxes(L, 1, 2))
         I = jnp.eye(d, dtype=v.dtype)
@@ -162,13 +223,17 @@ class HypoElasticity:
                    + jnp.einsum("qab,qbc->qac", w_spin, sigma)
                    - jnp.einsum("qab,qbc->qac", sigma, w_spin))
         # internal nodal force: f_p = -sum_q V_q sigma_q . dpsi_p(X_q)
-        f = -jnp.einsum("q,qab,qpb->pa", self.qw, sigma, self.dpsi_q)
+        contrib = -jnp.einsum("q,qab,qkb->qka", self.qw, sigma,
+                              self.dpsi_q)
+        f = jnp.zeros((self.n_p, d), dtype=v.dtype).at[
+            self.idx_q.reshape(-1)].add(contrib.reshape(-1, d))
         g = jnp.zeros(d, dtype=v.dtype).at[:len(params.gravity)].set(
             jnp.asarray(params.gravity[:d], dtype=v.dtype))
         f = f + self.mass[:, None] * g
         if traction_q is not None:
-            f = f + jnp.einsum("b,bp,ba->pa", self.bqw, self.psi_b,
-                               traction_q)
+            tc = jnp.einsum("b,bk,ba->bka", self.bqw, self.psi_b,
+                            traction_q)
+            f = f.at[self.idx_b.reshape(-1)].add(tc.reshape(-1, d))
         a = f / self.mass[:, None]
         a = jnp.where(self.fixed, 0.0, a)
         return a, sig_dot
@@ -384,19 +449,31 @@ class SharedHypoElasticity(HypoElasticity):
     def moved_vertex_coords(self):
         return self.x
 
-    def run_one_step(self, first_step: bool = False):
+    def _fsi_traction_q_impl(self, x, fsi_stress_rows):
+        """Traction at boundary-face quadrature points from the nodal
+        fluid stress rows on the MOVED faces (jittable; reference:
+        source/mpi_shared_hypo_elasticity.cpp:127-233)."""
         d = self.dim
         fv = self.fv
+        _, normals = self._face_geometry(x)
+        normals = normals * self._face_orient[:, None, None]
+        cell_nodes = self.space.cell_dofs[np.asarray(fv.cells)]
+        rows = fsi_stress_rows[jnp.asarray(cell_nodes)]
+        sig_q = jnp.einsum("fql,flab->fqab", jnp.asarray(
+            fv.N, dtype=real_dtype()), rows)
+        t_q = jnp.einsum("fqab,fqb->fqa", sig_q, normals)
+        return t_q.reshape(-1, d)
+
+    def _device_step_impl(self, x, v, sigma, fsi_stress_rows):
+        """One FSI RK4 step (jittable): traction from the nodal stress
+        rows, then _rk4_step_impl.  Returns (x, v, sigma, acc)."""
+        tq = self._fsi_traction_q_impl(x, fsi_stress_rows)
+        return self._rk4_step_impl(x, v, sigma, tq)
+
+    def run_one_step(self, first_step: bool = False):
+        fv = self.fv
         if self.params.simulation_type == "FSI" and fv is not None:
-            # traction at face q points from fsi_stress_rows on moved faces
-            JxW, normals = self._face_geometry(self.x)
-            normals = normals * self._face_orient[:, None, None]
-            cell_nodes = self.space.cell_dofs[np.asarray(fv.cells)]
-            rows = self.fsi_stress_rows[jnp.asarray(cell_nodes)]
-            sig_q = jnp.einsum("fql,flab->fqab", jnp.asarray(
-                fv.N, dtype=real_dtype()), rows)
-            t_q = jnp.einsum("fqab,fqb->fqa", sig_q, normals)
-            tq = t_q.reshape(-1, d)
+            tq = self._fsi_traction_q_impl(self.x, self.fsi_stress_rows)
         elif fv is not None:
             tq = self._standalone_traction_q()
         else:
@@ -408,19 +485,27 @@ class SharedHypoElasticity(HypoElasticity):
         self._sync()
         self._end_of_step_io(first_step)
 
+    def _nodal_stress_impl(self, sigma):
+        """Jittable projection of the RKPM quadrature stress to averaged
+        nodal fields -> (n_nodes, d, d) (the layout the MPI coupler's
+        fsi_stress_nodal kernel consumes)."""
+        d = self.dim
+        n_c = self.cv.JxW.shape[0]
+        sig = sigma.reshape(n_c, -1, d, d)
+        cellwise = jnp.einsum("iq,cqab->ciab",
+                              jnp.asarray(self._qpt_to_dof,
+                                          dtype=sigma.dtype), sig)
+        out = jnp.zeros((self.space.n_nodes, d, d), dtype=sigma.dtype)
+        out = out.at[jnp.asarray(self.space.cell_dofs,
+                                 dtype=jnp.int32).reshape(-1)].add(
+            cellwise.reshape(-1, d, d))
+        return out / jnp.asarray(self._node_counts,
+                                 dtype=sigma.dtype)[:, None, None]
+
     def update_strain_and_stress(self):
         """Project the RKPM quadrature stress to averaged nodal fields.
         RKPM tracks no total strain; strain output is zero (the coupler
         consumes only the stress)."""
-        d = self.dim
-        n_c = self.cv.JxW.shape[0]
-        sig = np.asarray(self.sigma).reshape(n_c, -1, d, d)
-        out = np.zeros((d, d, self.space.n_nodes))
-        for i in range(d):
-            for j in range(d):
-                cellwise = np.einsum("iq,cq->ci", self._qpt_to_dof,
-                                     sig[:, :, i, j])
-                np.add.at(out[i, j], self.space.cell_dofs.ravel(),
-                          cellwise.ravel())
-        self.stress = out / self._node_counts
+        nodal = np.asarray(self._nodal_stress_impl(self.sigma))
+        self.stress = nodal.transpose(1, 2, 0)
         self.strain = np.zeros_like(self.stress)

@@ -95,11 +95,8 @@ class LinearElasticity(SolidSolverBase):
     def assemble_rhs(self):
         """External force F: gravity + traction (prescribed or FSI)."""
         if self.params.simulation_type == "FSI":
-            fv = self.fv
-            t = self.fsi_traction * self._fsi_face_mask[:, None]
-            tq = jnp.broadcast_to(t[:, None, :],
-                                  (len(fv.cells), fv.JxW.shape[1], self.dim))
-            rhs = self.gravity_rhs + self.traction_rhs(tq)
+            rhs = self.gravity_rhs + self._fsi_traction_rhs_impl(
+                self.fsi_traction)
         else:
             rhs = self.gravity_rhs + self.traction_rhs(
                 self._standalone_traction)
