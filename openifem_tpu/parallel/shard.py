@@ -203,6 +203,7 @@ def _sharded_insim_newton_impl(solver, mesh: Mesh,
     fsi_acc_nodal) -> (du, res_norm, iters, residual) on the ORIGINAL
     (unpadded) dof layout, solving the same condensed system to the same
     tolerance as solver._newton_iter."""
+    import math
     import types
 
     import jax.numpy as jnp
@@ -210,15 +211,19 @@ def _sharded_insim_newton_impl(solver, mesh: Mesh,
     from ..config import real_dtype
     from ..la.constraints import Constraints
     from ..la.krylov import fgmres
-    from ..la.operators import element_matvec
+    from ..la.operators import element_matvec_taylor_hood
 
     n_dev = int(np.prod(mesh.devices.shape))
+    d = solver.dim
 
-    def pad(n):
-        return -(-n // n_dev) * n_dev
+    def pad(n, mult=n_dev):
+        return -(-n // mult) * mult
 
     n_u, n_p = solver.n_u, solver.n_p
-    n_u_pad, n_p_pad = pad(n_u), pad(n_p)
+    # the u block keeps the node-block (node-major, d components) layout,
+    # so its padded length must stay a whole number of nodes too
+    n_u_pad = pad(n_u, math.lcm(n_dev, d))
+    n_p_pad = pad(n_p)
     n_pad = n_u_pad + n_p_pad
     shift = n_u_pad - n_u
     dof_sh = NamedSharding(mesh, P(axis))
@@ -279,6 +284,11 @@ def _sharded_insim_newton_impl(solver, mesh: Mesh,
 
     cdu_pad = pad_cells(solver.cell_dofs_u, fill_idx=n_u_pad - 1)
     cdp_pad = pad_cells(solver.cell_dofs_p, fill_idx=n_p_pad - 1)
+    # node-block layout (VERDICT r2 #5): velocity NODE table for the
+    # padded proxy, so _make_preconditioner and the outer matvec use the
+    # node-row gathers/scatters (pad cells carry zero blocks, so any
+    # fill node is safe)
+    cnu_pad = pad_cells(solver.cell_nodes_u, fill_idx=n_u_pad // d - 1)
     mp_loc_pad = pad_cells(solver.Mp_loc)
 
     def pad_diag(d, n_new):
@@ -295,6 +305,7 @@ def _sharded_insim_newton_impl(solver, mesh: Mesh,
         a_inner_restarts=solver.a_inner_restarts,
         a_inner_rtol=solver.a_inner_rtol,
         cell_dofs_p=cdp_pad, cell_dofs_u=cdu_pad,
+        cell_nodes_u=cnu_pad,
         dim=solver.dim,
         mixed_precision_precond=solver.mixed_precision_precond,
         mp_cg_maxiter=solver.mp_cg_maxiter,
@@ -323,7 +334,9 @@ def _sharded_insim_newton_impl(solver, mesh: Mesh,
         res_norm = jnp.linalg.norm(b_pad)
 
         def apply_A(x):
-            y = element_matvec(A_loc, cd_pad, n_pad, x)
+            y = element_matvec_taylor_hood(
+                A_loc, cnu_pad, cdp_pad, solver.nu_loc // d, d,
+                n_u_pad, n_p_pad, x)
             return jax.lax.with_sharding_constraint(y, dof_sh)
 
         op = cons_pad.wrap_operator(apply_A)
@@ -405,6 +418,7 @@ def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
     padded [u|p] block layout, the Washio incomplete-Schur (Tpp)
     preconditioner reused verbatim on a padded proxy
     (reference distributed solve: source/mpi_supg_solver.cpp:296-328)."""
+    import math
     import types
 
     import jax.numpy as jnp
@@ -412,15 +426,18 @@ def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
     from ..config import real_dtype
     from ..la.constraints import Constraints
     from ..la.krylov import fgmres
-    from ..la.operators import element_matvec
+    from ..la.operators import element_matvec_taylor_hood
 
     n_dev = int(np.prod(mesh.devices.shape))
+    d = solver.dim
 
-    def pad(n):
-        return -(-n // n_dev) * n_dev
+    def pad(n, mult=n_dev):
+        return -(-n // mult) * mult
 
     n_u, n_p = solver.n_u, solver.n_p
-    n_u_pad, n_p_pad = pad(n_u), pad(n_p)
+    # u block stays in node-block layout (see _sharded_insim_newton_impl)
+    n_u_pad = pad(n_u, math.lcm(n_dev, d))
+    n_p_pad = pad(n_p)
     n_pad = n_u_pad + n_p_pad
     shift = n_u_pad - n_u
     dof_sh = NamedSharding(mesh, P(axis))
@@ -474,9 +491,13 @@ def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
             a = np.concatenate([a, padv])
         return jax.device_put(jnp.asarray(a), cell_sh)
 
+    cnu_pad = pad_cells(solver.cell_nodes_u, fill_idx=n_u_pad // d - 1)
+    cdp_pad = pad_cells(solver.cell_dofs_p, fill_idx=n_p_pad - 1)
     ps = types.SimpleNamespace(
-        cell_dofs_p=pad_cells(solver.cell_dofs_p, fill_idx=n_p_pad - 1),
+        cell_dofs_p=cdp_pad,
         cell_dofs_u=pad_cells(solver.cell_dofs_u, fill_idx=n_u_pad - 1),
+        cell_nodes_u=cnu_pad,
+        dim=d,
         mixed_precision_precond=solver.mixed_precision_precond,
         n_p=n_p_pad, n_u=n_u_pad, nu_loc=solver.nu_loc,
         tpp_max_restarts=solver.tpp_max_restarts,
@@ -501,7 +522,9 @@ def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
         res_norm = jnp.linalg.norm(b_pad)
 
         def apply_A(x):
-            y = element_matvec(A_loc, cd_pad, n_pad, x)
+            y = element_matvec_taylor_hood(
+                A_loc, cnu_pad, cdp_pad, solver.nu_loc // d, d,
+                n_u_pad, n_p_pad, x)
             return jax.lax.with_sharding_constraint(y, dof_sh)
 
         op = cons_pad.wrap_operator(apply_A)
