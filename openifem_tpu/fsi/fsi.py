@@ -219,7 +219,7 @@ class FSI:
         is_supg = isinstance(fluid, SUPGFluidSolver)
 
         @jax.jit
-        def step(s_disp, s_vel, s_acc, f_sol, f_stress):
+        def step(s_disp, s_vel, s_acc, f_sol, f_stress, fsi_stress_nodal):
             moved = self._solid_ref_verts + s_disp[:n_sv * d].reshape(
                 n_sv, d)
             traction = k.solid_traction(moved, f_sol, f_stress)
@@ -252,7 +252,7 @@ class FSI:
             if is_supg:
                 eddy = jnp.zeros(fluid.u_space.n_nodes, dtype=rdt)
                 sol2, stress2, rel, f_it = fluid_step(
-                    f_sol, indicator, acc_nodal, fluid.fsi_stress_nodal,
+                    f_sol, indicator, acc_nodal, fsi_stress_nodal,
                     f_stress, eddy, zero_ext, nonzero_ext, ucons,
                     fluid.p_constraints)
             else:
@@ -260,7 +260,8 @@ class FSI:
                 sol2, stress2, rel, f_it = fluid_step(
                     f_sol, indicator, fsi_acc, stress_cell, acc_nodal,
                     zero_ext, nonzero_ext, ucons, fluid.p_constraints)
-            return disp2, v2, a2, sol2, stress2, indicator, rel, f_it, s_it
+            return (disp2, v2, a2, sol2, stress2, indicator, rel, f_it,
+                    s_it, traction)
 
         return step
 
@@ -272,14 +273,19 @@ class FSI:
             self._coupled_step = self.make_coupled_step()
             self._coupled_step_mesh = fluid.mesh
         self._check_solid_hash_capacity(self._solid_moved_verts())
-        (disp2, v2, a2, sol2, stress2, indicator, rel, f_it,
-         s_it) = self._coupled_step(
+        stress_nodal = getattr(fluid, "fsi_stress_nodal", None)
+        if stress_nodal is None:
+            stress_nodal = jnp.zeros((fluid.u_space.n_nodes, fluid.dim,
+                                      fluid.dim), dtype=real_dtype())
+        (disp2, v2, a2, sol2, stress2, indicator, rel, f_it, s_it,
+         traction) = self._coupled_step(
             solid.current_displacement, solid.current_velocity,
             solid.current_acceleration, fluid.present_solution,
-            fluid.stress_device)
+            fluid.stress_device, stress_nodal)
         if int(s_it) >= self.params.solid_max_iterations or \
                 float(rel) > self.params.fluid_tolerance:
             raise RuntimeError("Too many Newton iterations!")
+        solid.fsi_traction = traction
         solid.current_displacement = solid.previous_displacement = disp2
         solid.current_velocity = solid.previous_velocity = v2
         solid.current_acceleration = solid.previous_acceleration = a2

@@ -65,7 +65,8 @@ class MPIFSI(FSI):
         @jax.jit
         def step(s_x, s_v, s_sigma, f_sol, f_stress):
             s_disp = (s_x - ref_verts).reshape(-1)
-            rows, _, _ = k.solid_bc_rows(s_disp, f_sol, f_stress)
+            rows, p_nodal, u_nodal = k.solid_bc_rows(s_disp, f_sol,
+                                                     f_stress)
             x2, v2, sig2, a2 = solid._device_step_impl(
                 s_x, s_v, s_sigma, rows.astype(rdt))
             indicator = k.indicator_all_vertices(x2).astype(rdt)
@@ -81,7 +82,8 @@ class MPIFSI(FSI):
                 f_stress, eddy, zc, zc, fluid.u_constraints,
                 fluid.p_constraints)
             return (x2, v2, sig2, a2, sol2, f_stress2, indicator,
-                    fsi_stress_nodal, fsi_acc_nodal, rel, f_it)
+                    fsi_stress_nodal, fsi_acc_nodal, rel, f_it,
+                    rows, p_nodal, u_nodal)
 
         return step
 
@@ -92,11 +94,18 @@ class MPIFSI(FSI):
             self._coupled_step_mesh = fluid.mesh
         self._check_solid_hash_capacity(solid.moved_vertex_coords())
         (x2, v2, sig2, a2, sol2, f_stress2, indicator, fsi_stress_nodal,
-         fsi_acc_nodal, rel, f_it) = self._coupled_step(
+         fsi_acc_nodal, rel, f_it, rows, p_nodal,
+         u_nodal) = self._coupled_step(
             solid.x, solid.v, solid.sigma, fluid.present_solution,
             fluid.stress_device)
         if float(rel) > self.params.fluid_tolerance:
             raise RuntimeError("Too many Newton iterations!")
+        # keep the host mirrors of find_solid_bc's outputs current (the
+        # reference stores these on the solid for CV analysis, checkpoints
+        # and the regression asserts, source/mpi_fsi.cpp:770-781)
+        solid.fsi_stress_rows = rows
+        solid.fluid_pressure_nodal = p_nodal
+        solid.fluid_velocity_nodal = u_nodal
         solid.x, solid.v, solid.sigma, solid._acc = x2, v2, sig2, a2
         solid._sync()
         solid.time.increment()
