@@ -439,7 +439,15 @@ def main():
     os.chdir(tempfile.mkdtemp(prefix="bench_"))
 
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    # single-case runs MERGE into the existing record (a partial run must
+    # not clobber the other cases' telemetry)
     details = []
+    if only is not None and os.path.exists(details_path):
+        try:
+            with open(details_path) as f:
+                details = json.load(f).get("cases", [])
+        except Exception:
+            details = []
     headline_printed = [False]
     # reference baseline: 100 steps / 240 s at the refine=1 dof count
     ref = 3612 * 100 / 240.0 / 1e6
@@ -452,6 +460,7 @@ def main():
         file rewrite, so a timeout-killed run still leaves a record."""
         d["vs_ref_refine1_dof_throughput"] = round(
             d["mdof_steps_per_s"] / ref, 3)
+        details[:] = [c for c in details if c.get("case") != d["case"]]
         details.append(d)
         with open(details_path, "w") as f:
             json.dump({"baseline_mdof_steps_per_s": round(ref, 6),

@@ -19,10 +19,16 @@ from .shapes import QkShapes
 
 
 class FESpace:
-    """Scalar continuous Q_k space; degree <= 2 supported."""
+    """Scalar continuous Q_k space, degree-generic (the reference's FE
+    degree is a free parameter, include/parameters.h FluidFESystem /
+    SolidFESystem).  k > 2 uses canonically oriented shared-entity
+    numbering (edge: min->max vertex id; face: min-id corner origin,
+    s-axis toward its smaller-id neighbor) and requires a conforming
+    mesh (hanging-node constraints are implemented for k <= 2 only,
+    matching every shipped reference test)."""
 
     def __init__(self, mesh: Mesh, degree: int):
-        assert degree in (1, 2), "only Q1/Q2 supported (reference uses <= Q2)"
+        assert degree >= 1
         self.mesh = mesh
         self.degree = degree
         self.dim = mesh.dim
@@ -71,8 +77,13 @@ class FESpace:
                     b |= (1 << d)
             return b
 
-        if k == 2:
-            # allocate edge nodes
+        per_edge = k - 1
+        per_face = per_edge * per_edge
+        per_cell = per_edge ** dim
+        if k >= 2:
+            # allocate edge (and 3D face) node BASES; entities with more
+            # than one interior node (k > 2) are ordered in a canonical
+            # frame from global vertex ids so neighbor cells agree
             for c in range(n_c):
                 v = mesh.cells[c]
                 for l, (idx, inter) in enumerate(local_kind):
@@ -86,7 +97,7 @@ class FESpace:
                         key = (min(a, b), max(a, b))
                         if key not in edge_ids:
                             edge_ids[key] = n_nodes
-                            n_nodes += 1
+                            n_nodes += per_edge
             if dim == 3:
                 for c in range(n_c):
                     v = mesh.cells[c]
@@ -94,9 +105,9 @@ class FESpace:
                         key = frozenset(int(v[x]) for x in FACE_VERTICES[3][f])
                         if key not in face_ids:
                             face_ids[key] = n_nodes
-                            n_nodes += 1
+                            n_nodes += per_face
             cell_interior_start = n_nodes
-            n_nodes += n_c  # one interior node per cell for Q2
+            n_nodes += n_c * per_cell
 
         # fill cell_dofs
         for c in range(n_c):
@@ -111,14 +122,40 @@ class FESpace:
                     lo[d], hi[d] = 0, k
                     a = int(v[vertex_local(lo)])
                     b = int(v[vertex_local(hi)])
-                    cell_dofs[c, l] = edge_ids[(min(a, b), max(a, b))]
+                    pos = idx[d] if a < b else k - idx[d]
+                    cell_dofs[c, l] = \
+                        edge_ids[(min(a, b), max(a, b))] + pos - 1
                 elif len(inter) == 2 and dim == 3:
-                    d_fix = [d for d in range(3) if d not in inter][0]
+                    d1, d2 = inter
+                    d_fix = 3 - d1 - d2
                     f = 2 * d_fix + (1 if idx[d_fix] == k else 0)
                     key = frozenset(int(v[x]) for x in FACE_VERTICES[3][f])
-                    cell_dofs[c, l] = face_ids[key]
+                    # face corners in local (u=axis d1, w=axis d2) coords
+                    cu, cw = (0, k, 0, k), (0, 0, k, k)
+                    cid = []
+                    for q in range(4):
+                        ii = list(idx)
+                        ii[d1], ii[d2] = cu[q], cw[q]
+                        cid.append(int(v[vertex_local(ii)]))
+                    nbr = ((1, 2), (0, 3), (3, 0), (2, 1))
+                    o = int(np.argmin(cid))
+                    sn, tn = nbr[o]
+                    if cid[sn] > cid[tn]:
+                        sn, tn = tn, sn
+                    pu, pw = idx[d1], idx[d2]
+                    s = ((pu - cu[o]) * (cu[sn] - cu[o]) +
+                         (pw - cw[o]) * (cw[sn] - cw[o])) // k
+                    t = ((pu - cu[o]) * (cu[tn] - cu[o]) +
+                         (pw - cw[o]) * (cw[tn] - cw[o])) // k
+                    cell_dofs[c, l] = face_ids[key] + \
+                        (s - 1) + per_edge * (t - 1)
                 else:
-                    cell_dofs[c, l] = cell_interior_start + c
+                    off, stride = 0, 1
+                    for d in inter:
+                        off += stride * (idx[d] - 1)
+                        stride *= per_edge
+                    cell_dofs[c, l] = cell_interior_start + \
+                        c * per_cell + off
 
         self.n_nodes = n_nodes
         self.cell_dofs = cell_dofs
@@ -197,6 +234,11 @@ class FESpace:
         self.hanging: List[Tuple[int, List[int], List[float]]] = []
         if mesh.level.max() == mesh.level.min():
             return  # conforming
+        if k > 2:
+            raise NotImplementedError(
+                "hanging-node constraints are implemented for Q1/Q2 only "
+                "(every shipped reference test uses degree <= 2); use a "
+                "conforming mesh with higher-order spaces")
         if mesh.dim == 3:
             self._build_hanging_constraints_3d()
             return

@@ -203,3 +203,86 @@ def test_pallas_element_matvec_interpret():
     mode; see la/pallas_ops.py for the Mosaic lowering status)."""
     from openifem_tpu.la.pallas_ops import _self_test
     assert _self_test() < 1e-10
+
+
+# ----------------------------------------------------------------------
+# degree-generic Q_k (k > 2): canonical shared-entity orientation
+# (reference: FE degree is a free parameter, include/parameters.h)
+# ----------------------------------------------------------------------
+
+def _node_position_consistency(mesh, k):
+    """Every (cell, local) pair mapping to one global node must place it
+    at the same physical point — THE orientation check for shared-entity
+    interior nodes (a flipped edge/face ordering puts a node at two
+    different lattice positions)."""
+    from openifem_tpu.fe.shapes import QkShapes
+    sp = FESpace(mesh, k)
+    geo = QkShapes(1, mesh.dim)
+    Ng, _ = geo.evaluate(sp.shapes.local_nodes())
+    cv = mesh.vertices[mesh.cells]
+    pos = np.einsum("lv,cvd->cld", Ng, cv)     # (n_c, nl, d) exact lattice
+    flat = sp.cell_dofs.ravel()
+    ref = np.full((sp.n_nodes, mesh.dim), np.nan)
+    ref[flat] = pos.reshape(-1, mesh.dim)      # last write
+    err = np.abs(pos.reshape(-1, mesh.dim) - ref[flat]).max()
+    assert err < 1e-10, f"Q{k} node placed inconsistently: {err}"
+    # every node written at least once
+    assert not np.isnan(ref).any()
+    return sp
+
+
+def test_q3_q4_orientation_2d():
+    # flow_around_cylinder has rotated/curved cells sharing edges with
+    # opposite local directions
+    m = generators.flow_around_cylinder(2)
+    for k in (3, 4):
+        _node_position_consistency(m, k)
+
+
+def test_q3_orientation_3d():
+    # extruded cylinder: rotated hexes share faces in differing local
+    # frames; exercise BOTH the native C++ numbering and the pure-Python
+    # fallback and check they allocate the same node count
+    import openifem_tpu.fe.space as space_mod
+    m = generators.cylinder(0.4, 1.0)
+    n_native = _node_position_consistency(m, 3).n_nodes
+    import openifem_tpu.native as native_mod
+    orig = native_mod.build_cell_dofs
+    try:
+        space_mod_native = lambda *a, **k2: None  # noqa: E731
+        native_mod.build_cell_dofs = space_mod_native
+        n_py = _node_position_consistency(m, 3).n_nodes
+    finally:
+        native_mod.build_cell_dofs = orig
+    assert n_native == n_py
+
+
+def test_q3_interpolation_exact_3d():
+    """Nodal interpolation of a tri-degree-3 polynomial is exact at
+    random interior points (fails if any shared entity is mis-ordered)."""
+    m = generators.cylinder(0.4, 1.0)
+    sp = _node_position_consistency(m, 3)
+
+    def f(x):
+        return (x[..., 0] ** 3 - 2 * x[..., 1] ** 3 + x[..., 2] ** 3
+                + x[..., 0] * x[..., 1] * x[..., 2])
+
+    u = f(sp.node_points)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.05, 0.95, size=(40, 3))
+    N, _ = sp.shapes.evaluate(pts)
+    from openifem_tpu.fe.shapes import QkShapes
+    geo = QkShapes(1, 3)
+    Ng, _ = geo.evaluate(pts)
+    vals = np.einsum("pl,cl->cp", N, u[sp.cell_dofs])
+    # physical point of (cell, unit point)
+    xq = np.einsum("pv,cvd->cpd", Ng, m.vertices[m.cells])
+    assert np.abs(vals - f(xq)).max() < 1e-9
+
+
+def test_poisson_q3_cg():
+    # O(h^4): 4x4 Q3 already resolves sin(pi x) sin(pi y) to ~1e-4
+    err = _poisson_solve(3, 2, "cg")
+    assert err < 5e-4
+    # one refinement drops the error by ~2^4
+    assert _poisson_solve(3, 3, "cg") < err / 8
