@@ -94,22 +94,32 @@ def geometric_prolongation_table(coarse_space: FESpace,
     the uniform-grid cell hash — valid for ANY coarse/fine mesh pair whose
     fine nodes lie inside the coarse mesh, e.g. locally refined
     (hanging-node) meshes where the exact-topology tables don't apply."""
+    import contextlib
+
+    import jax as jax_
     import jax.numpy as jnp_  # local: host-side setup only
 
     from ..config import real_dtype
     from ..fsi.interp import make_cell_hash, plan_cell_hash
 
-    cm = coarse_space.mesh
-    verts = cm.vertices[cm.cells]
-    dims, span, K = plan_cell_hash(verts, tol=tol)
-    build, locate = make_cell_hash(cm.n_cells, dims, span, K, tol=tol)
-    pts = jnp_.asarray(fine_space.node_points, dtype=real_dtype())
-    idx, unit, found = locate(build(jnp_.asarray(verts,
-                                                 dtype=real_dtype())), pts)
-    assert bool(jnp_.all(found)), \
-        "fine node outside the coarse mesh (non-nested hierarchy)"
-    W, _ = coarse_space.shapes.evaluate(np.asarray(unit))
-    return np.asarray(idx, dtype=np.int64), W
+    # setup-time locate: jit on the CPU backend (a remote-TPU compile of
+    # this one-shot kernel costs minutes)
+    try:
+        ctx = jax_.default_device(jax_.devices("cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        cm = coarse_space.mesh
+        verts = cm.vertices[cm.cells]
+        dims, span, K = plan_cell_hash(verts, tol=tol)
+        build, locate = make_cell_hash(cm.n_cells, dims, span, K, tol=tol)
+        pts = jnp_.asarray(fine_space.node_points, dtype=real_dtype())
+        idx, unit, found = locate(
+            build(jnp_.asarray(verts, dtype=real_dtype())), pts)
+        assert bool(jnp_.all(found)), \
+            "fine node outside the coarse mesh (non-nested hierarchy)"
+        W, _ = coarse_space.shapes.evaluate(np.asarray(unit))
+        return np.asarray(idx, dtype=np.int64), W
 
 
 def node_injection_table(coarse_space: FESpace, fine_space: FESpace):
@@ -439,3 +449,375 @@ def make_velocity_mg(meshes: Sequence, degree: int, d: int,
         velocity_levels(meshes, degree, d, rho, mu, gamma, dt,
                         fixed_fine, dtype),
         n_smooth=n_smooth, dtype=dtype, ncomp=d)
+
+
+# ----------------------------------------------------------------------
+# Galerkin multigrid: coarse operators from the ACTUAL fine element
+# blocks (A_c = W^T A_f W), rebuilt inside jit each Newton iteration.
+#
+# The reference preconditions its Schur surrogates with ILU(0)/direct
+# factorizations of explicitly (re)assembled matrices every Newton step
+# (B2pp: source/mpi_supg_solver.cpp:56-133; mass_schur:
+# source/mpi_insim.cpp:36-50).  The frozen-Laplacian GeometricMG above
+# preconditions a FIXED spectrally-similar operator instead, which fails
+# when the true operator is mass- or convection-dominated (measured:
+# SCnsIM Tpp inner GMRES 34 iters at fsi-wall-3D full res with the
+# Laplacian V-cycle).  GalerkinMG coarsens the true blocks: the W tables
+# and parent maps are static (host setup), the per-level block
+# construction is three batched einsums + one segment scatter — jittable
+# and cheap relative to one Krylov iteration.
+# ----------------------------------------------------------------------
+
+def galerkin_table(coarse_space: FESpace, fine_space: FESpace,
+                   tol: float = 1e-9):
+    """Per-FINE-CELL parent coarse cell + interpolation weights.
+
+    Returns (parent (n_fc,) int, W (n_fc, nl_f, nl_c) float64) with
+    W[f, l, m] = N^coarse_m(xi of fine node l in parent cell).  Valid for
+    any nested pair (full, local/hanging refinements, or coarser base
+    grids of the same domain)."""
+    import jax.numpy as jnp_
+
+    from ..config import real_dtype
+    from ..fsi.interp import make_cell_hash, plan_cell_hash
+
+    import contextlib
+
+    import jax as jax_
+
+    cm, fm = coarse_space.mesh, fine_space.mesh
+    # setup-time host work: jit these small locates on the CPU backend
+    # (compiling them for the remote TPU costs minutes for nothing)
+    try:
+        ctx = jax_.default_device(jax_.devices("cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        verts = cm.vertices[cm.cells]
+        dims, span, K = plan_cell_hash(verts, tol=tol)
+        build, locate = make_cell_hash(cm.n_cells, dims, span, K, tol=tol)
+        state = build(jnp_.asarray(verts, dtype=real_dtype()))
+        centers = jnp_.asarray(fm.cell_centers(), dtype=real_dtype())
+        parent, _, found = locate(state, centers)
+        assert bool(found.all()), \
+            "fine cell center outside the coarse mesh"
+        parent = np.asarray(parent, dtype=np.int64)
+
+        # unit coords of every fine-cell node inside the parent cell
+        from ..fsi.interp import invert_bilinear
+        geo = fine_space.shapes
+        Ng, _ = QkShapes_geo(fm.dim).evaluate(geo.local_nodes())
+        node_xyz = np.einsum("lv,cvd->cld", Ng, fm.vertices[fm.cells])
+        pverts = jnp_.asarray(cm.vertices[cm.cells][parent],
+                              dtype=real_dtype())       # (n_fc, 2**d, d)
+        xi = invert_bilinear(jnp_.asarray(node_xyz, dtype=real_dtype()),
+                             pverts[:, None, :, :])
+        xi = np.clip(np.asarray(xi), 0.0, 1.0)
+    n_fc, nl_f, d = xi.shape
+    W, _ = coarse_space.shapes.evaluate(xi.reshape(-1, d))
+    return parent, W.reshape(n_fc, nl_f, -1)
+
+
+def QkShapes_geo(dim):
+    from ..fe.shapes import QkShapes
+    return QkShapes(1, dim)
+
+
+class GalerkinMG:
+    """V-cycle whose level operators are Galerkin products of the fine
+    element blocks, built per call (jittable).
+
+    spaces: [coarsest ... finest] scalar FESpaces of the SAME degree as
+    the fine blocks' dof map; ncomp > 1 treats blocks as node-block
+    vector operators (n_c, nl, d, nl, d).
+
+    Usage:
+        mg = GalerkinMG(spaces, fine_cell_dofs, rep_blocks, fixed_fine)
+        vcycle = mg.build(A_loc)     # inside jit, per Newton iteration
+    The Chebyshev eigenvalue estimates are frozen at setup from
+    representative blocks (rep_blocks) and reused; smoothing targets
+    [lam/4, lam], so modest spectrum drift is absorbed."""
+
+    def __init__(self, spaces, fine_cell_dofs, rep_blocks, fixed_fine,
+                 n_smooth: int = 2, dtype=jnp.float32, ncomp: int = 1,
+                 lam_safety: float = 1.15):
+        self.n_smooth = n_smooth
+        self.dtype = dtype
+        self.ncomp = ncomp
+        L = len(spaces)
+        k = ncomp
+
+        # static tables per level-pair
+        self.parent = []     # (n_f_cells,) parent coarse cell
+        self.Wt = []         # (n_f_cells, nl_f, nl_c)
+        for i in range(L - 1):
+            p, W = galerkin_table(spaces[i], spaces[i + 1])
+            self.parent.append(jnp.asarray(p, dtype=jnp.int32))
+            self.Wt.append(jnp.asarray(W, dtype=dtype))
+
+        # per-level dof maps + sizes (level i uses spaces[i].cell_dofs
+        # indexed per COARSE cell after sibling aggregation)
+        self.cell_dofs = [jnp.asarray(s.cell_dofs, dtype=jnp.int32)
+                          for s in spaces]
+        self.n_nodes = [s.n_nodes for s in spaces]
+        fcd = np.asarray(fine_cell_dofs)
+        assert fcd.shape[0] == spaces[-1].mesh.n_cells
+        self.fine_cell_dofs = jnp.asarray(fcd, dtype=jnp.int32)
+
+        fixed_fine = np.asarray(fixed_fine, dtype=bool)
+        self.fixed_fine = jnp.asarray(fixed_fine)
+
+        # node-interpolation prolongation per level-pair (same tables as
+        # GeometricMG): fine NODE value from coarse cell shapes
+        self.P = []
+        for i in range(L - 1):
+            try:
+                cells, W = prolongation_table(spaces[i], spaces[i + 1])
+            except AssertionError:
+                cells, W = geometric_prolongation_table(spaces[i],
+                                                        spaces[i + 1])
+            cd = np.asarray(spaces[i].cell_dofs)[cells]
+            self.P.append((jnp.asarray(cd, dtype=jnp.int32),
+                           jnp.asarray(W, dtype=dtype)))
+
+        # Chebyshev lambda_max: frozen at setup from representative
+        # blocks when given, else estimated per build() by a fixed-trip
+        # power iteration inside jit (dynamic — tracks the Newton matrix)
+        self.lam_safety = lam_safety
+        if rep_blocks is None:
+            self.lam = None
+        else:
+            levels = self._level_blocks_host(np.asarray(rep_blocks,
+                                                        dtype=np.float64))
+            self.lam = []
+            rng = np.random.default_rng(0)
+            for i, (blocks, cd, n) in enumerate(levels):
+                diag = np.zeros(n)
+                nl = cd.shape[1] * k
+                cdk = self._expand_dofs_np(cd, k)
+                dloc = blocks.reshape(len(blocks), nl, nl)[
+                    :, np.arange(nl), np.arange(nl)]
+                np.add.at(diag, cdk.reshape(-1), dloc.reshape(-1))
+                diag[diag == 0] = 1.0
+                if i == L - 1 and fixed_fine.any():
+                    diag[fixed_fine] = 1.0
+                x = rng.standard_normal(n)
+                lam = 1.0
+                for _ in range(12):
+                    nrm = np.linalg.norm(x)
+                    if nrm == 0:
+                        break
+                    x = x / nrm
+                    xl = x[cdk]
+                    yl = np.einsum("clm,cm->cl",
+                                   blocks.reshape(len(blocks), nl, nl), xl)
+                    y = np.zeros(n)
+                    np.add.at(y, cdk.reshape(-1), yl.reshape(-1))
+                    y = y / diag
+                    lam = float(x @ y)
+                    x = y
+                self.lam.append(lam_safety * max(lam, 1e-12))
+
+        # dense coarse solve operator shape (built per call from blocks)
+        self.n0 = self.n_nodes[0] * k
+
+    # -- helpers -------------------------------------------------------
+    @staticmethod
+    def _expand_dofs_np(cd, k):
+        if k == 1:
+            return cd
+        nl = cd.shape[1]
+        return (np.repeat(cd * k, k, axis=1) +
+                np.tile(np.arange(k), nl))
+
+    def _level_blocks_host(self, fine_blocks):
+        """[(blocks (n_cells_i, nl*k, nl*k), cell_dofs_i, n_dofs_i)]
+        coarsest first, numpy (setup only)."""
+        k = self.ncomp
+        out = []
+        blocks = fine_blocks
+        cd = np.asarray(self.fine_cell_dofs)
+        for i in range(len(self.cell_dofs) - 1, 0, -1):
+            out.append((blocks, cd, self.n_nodes[i] * k))
+            W = np.asarray(self.Wt[i - 1])
+            parent = np.asarray(self.parent[i - 1])
+            nl_f, nl_c = W.shape[1], W.shape[2]
+            n_cc = len(np.asarray(self.cell_dofs[i - 1]))
+            if k == 1:
+                contrib = np.einsum("fim,fij,fjn->fmn", W,
+                                    blocks.reshape(-1, nl_f, nl_f), W)
+            else:
+                B = blocks.reshape(-1, nl_f, k, nl_f, k)
+                contrib = np.einsum("fim,fiajb,fjn->fmanb", W, B, W
+                                    ).reshape(-1, nl_c * k, nl_c * k)
+            agg = np.zeros((n_cc, nl_c * k, nl_c * k))
+            np.add.at(agg, parent, contrib)
+            blocks = agg
+            cd = np.asarray(self.cell_dofs[i - 1])
+        out.append((blocks, cd, self.n_nodes[0] * k))
+        return out[::-1]
+
+    # -- jittable build ------------------------------------------------
+    def build(self, fine_blocks):
+        """Closure vcycle(b) over level blocks derived from fine_blocks
+        (n_fine_cells, nl*k, nl*k) — call inside jit."""
+        k = self.ncomp
+        dtype = self.dtype
+        fine_blocks = fine_blocks.astype(dtype)
+        L = len(self.cell_dofs)
+
+        level_blocks = [None] * L
+        level_blocks[L - 1] = fine_blocks
+        for i in range(L - 1, 0, -1):
+            W = self.Wt[i - 1]
+            parent = self.parent[i - 1]
+            nl_f, nl_c = W.shape[1], W.shape[2]
+            blocks = level_blocks[i]
+            if k == 1:
+                contrib = jnp.einsum(
+                    "fim,fij,fjn->fmn", W,
+                    blocks.reshape(-1, nl_f, nl_f), W,
+                    preferred_element_type=dtype)
+            else:
+                B = blocks.reshape(-1, nl_f, k, nl_f, k)
+                contrib = jnp.einsum(
+                    "fim,fiajb,fjn->fmanb", W, B, W,
+                    preferred_element_type=dtype
+                ).reshape(-1, nl_c * k, nl_c * k)
+            n_cc = self.cell_dofs[i - 1].shape[0]
+            level_blocks[i - 1] = jnp.zeros(
+                (n_cc, nl_c * k, nl_c * k), dtype=dtype
+            ).at[parent].add(contrib)
+
+        # per-level matvec/diag closures
+        def level_ops(i):
+            blocks = level_blocks[i]
+            cd = self.cell_dofs[i] if i < L - 1 else self.fine_cell_dofs
+            n = self.n_nodes[i] * k
+            if k == 1:
+                cdk = cd
+            else:
+                nl = cd.shape[1]
+                cdk = (jnp.repeat(cd * k, k, axis=1) +
+                       jnp.tile(jnp.arange(k, dtype=cd.dtype), nl))
+            fixed = self.fixed_fine if i == L - 1 else None
+
+            def mv(x):
+                y = element_matvec(blocks, cdk, n, x)
+                if fixed is not None:
+                    y = jnp.where(fixed, x, y)
+                return y
+
+            nl_tot = blocks.shape[1]
+            dloc = blocks[:, jnp.arange(nl_tot), jnp.arange(nl_tot)]
+            diag = jnp.zeros(n, dtype=dtype).at[cdk.reshape(-1)].add(
+                dloc.reshape(-1))
+            if fixed is not None:
+                diag = jnp.where(fixed, 1.0, diag)
+            diag = jnp.where(diag == 0, 1.0, diag)
+            dinv = 1.0 / diag
+            return mv, dinv, fixed
+
+        ops = [level_ops(i) for i in range(L)]
+
+        # dense coarse inverse with a fixed small Tikhonov deflation
+        # (pinv is not jittable cheaply; the coarse op may be singular
+        # only for pure-Neumann problems — the shift makes the solve a
+        # bounded coarse correction, fine for a preconditioner)
+        blocks0 = level_blocks[0]
+        cd0 = self.cell_dofs[0]
+        if k != 1:
+            nl0 = cd0.shape[1]
+            cd0 = (jnp.repeat(cd0 * k, k, axis=1) +
+                   jnp.tile(jnp.arange(k, dtype=cd0.dtype), nl0))
+        n0 = self.n0
+        A0 = jnp.zeros((n0, n0), dtype=dtype)
+        A0 = A0.at[cd0[:, :, None], cd0[:, None, :]].add(blocks0)
+        tr = jnp.trace(A0) / n0
+        A0 = A0 + (1e-8 * tr) * jnp.eye(n0, dtype=dtype)
+        # one-shot factor-free solve: explicit inverse of the small
+        # coarse matrix on device (n0 <= a few thousand)
+        A0_inv = jnp.linalg.inv(A0.astype(jnp.float32)).astype(dtype)
+
+        n_smooth = self.n_smooth
+        if self.lam is not None:
+            lam = self.lam
+        else:
+            # dynamic lambda_max(D^-1 A) per level: fixed-trip power
+            # iteration with a deterministic start (jit-safe, no RNG)
+            lam = []
+            for i in range(L):
+                mv, dinv, _ = ops[i]
+                n = self.n_nodes[i] * k
+                x = jnp.sin(jnp.arange(1, n + 1, dtype=dtype))
+                lam_i = jnp.asarray(1.0, dtype=dtype)
+                for _ in range(8):
+                    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+                    y = dinv * mv(x)
+                    lam_i = jnp.vdot(x, y)
+                    x = y
+                lam.append(self.lam_safety *
+                           jnp.maximum(jnp.real(lam_i), 1e-12))
+
+        def chebyshev(i, b, x, x_is_zero=False):
+            mv, dinv, _ = ops[i]
+            lmax = lam[i]
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            r = b if x_is_zero else b - mv(x)
+            z = dinv * r
+            d_vec = z / theta
+            for _ in range(n_smooth):
+                x = x + d_vec
+                r = b - mv(x)
+                z = dinv * r
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d_vec = rho_new * rho * d_vec + (2.0 * rho_new / delta) * z
+                rho = rho_new
+            return x
+
+        def prolong(i, xc):
+            cdp, W = self.P[i]
+            if k == 1:
+                return jnp.einsum("fl,fl->f", W, xc[cdp],
+                                  preferred_element_type=dtype)
+            xn = xc.reshape(-1, k)
+            return jnp.einsum("fl,flk->fk", W, xn[cdp],
+                              preferred_element_type=dtype).reshape(-1)
+
+        def restrict(i, rf):
+            cdp, W = self.P[i]
+            nc = self.n_nodes[i] * k
+            if k == 1:
+                contrib = W * rf[:, None]
+                return jnp.zeros(nc, dtype=dtype).at[
+                    cdp.reshape(-1)].add(contrib.reshape(-1))
+            rn = rf.reshape(-1, k)
+            contrib = W[:, :, None] * rn[:, None, :]
+            out = jnp.zeros((nc // k, k), dtype=dtype).at[
+                cdp.reshape(-1)].add(contrib.reshape(-1, k))
+            return out.reshape(-1)
+
+        def vcycle(b):
+            out_dtype = b.dtype
+            b = b.astype(dtype)
+
+            def cycle(i, bi):
+                if i == 0:
+                    return A0_inv @ bi
+                mv, dinv, fixed = ops[i]
+                x = chebyshev(i, bi, jnp.zeros_like(bi), x_is_zero=True)
+                r = bi - mv(x)
+                if fixed is not None:
+                    r = jnp.where(fixed, 0.0, r)
+                bc = restrict(i - 1, r)
+                xc = cycle(i - 1, bc)
+                x = x + prolong(i - 1, xc)
+                return chebyshev(i, bi, x)
+
+            return cycle(L - 1, b).astype(out_dtype)
+
+        return vcycle

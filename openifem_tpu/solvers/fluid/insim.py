@@ -84,17 +84,22 @@ class InsIM(FluidSolverBase):
 
     # ------------------------------------------------------------------
     def enable_pressure_mg(self, meshes, n_smooth: int = 2,
-                       fixed_prefix: bool = True):
-        """Attach a geometric V-cycle (la/multigrid.py) as the inner
-        preconditioner of the mass-Schur CG.  `meshes` is the nested
-        refine_global hierarchy, coarsest first, finest == self.mesh.
+                       fixed_prefix: bool = True, galerkin: bool = False):
+        """Attach a V-cycle (la/multigrid.py) as the inner preconditioner
+        of the mass-Schur CG.  `meshes` is the nested hierarchy,
+        coarsest first, finest == self.mesh.
 
         The reference's Sm solve is mesh-independent because its A-block
         uses MUMPS/UMFPACK (source/mpi_insim.cpp:122-127); this restores
         mesh-independent Sm iteration counts with TPU-friendly batched
-        matvecs.  Preconditioner-only: the converged solution is
-        unchanged (flexible outer, same CG target tolerance)."""
-        from ...la.multigrid import make_pressure_mg
+        matvecs.  galerkin=False (default) uses the frozen pressure-
+        Laplacian cycle — the mass-Schur IS spectrally a Laplacian, and
+        the measured inner counts beat the GalerkinMG alternative (the
+        element-LOCAL Sm surrogate blocks under-represent the true global
+        product: 13 vs 55 CG iters on the Turek cylinder).  galerkin=True
+        coarsens those local blocks anyway (for experimentation).
+        Preconditioner-only: the converged solution is unchanged."""
+        from ...la.multigrid import GalerkinMG, make_pressure_mg
         assert meshes[-1].n_cells == self.mesh.n_cells, \
             "finest hierarchy level must be the solver mesh"
         assert self.params.fluid_pressure_degree == 1, (
@@ -103,27 +108,47 @@ class InsIM(FluidSolverBase):
             f"{self.params.fluid_pressure_degree}")
         pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
         fixed = np.asarray(self.p_constraints.fixed)
-        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt,
-                                     fixed_prefix=fixed_prefix)
+        if galerkin:
+            from ...fe.space import FESpace
+            spaces = [FESpace(m, 1) for m in meshes[:-1]] + [self.p_space]
+            self._pressure_mg = GalerkinMG(
+                spaces, self.p_space.cell_dofs, None, fixed,
+                n_smooth=n_smooth, dtype=pdt)
+        else:
+            self._pressure_mg = make_pressure_mg(
+                meshes, fixed, n_smooth, pdt, fixed_prefix=fixed_prefix)
         self._newton_iter = jax.jit(self._newton_iter_impl)
 
-    def enable_velocity_mg(self, meshes, n_smooth: int = 2):
+    def enable_velocity_mg(self, meshes, n_smooth: int = 2,
+                           galerkin: bool = True):
         """Attach a vector V-cycle as the preconditioner of the inner
         A-block FGMRES — the TPU-native replacement for the reference's
         MUMPS/UMFPACK direct A-solve (source/mpi_insim.cpp:122-127,
-        include/insim.h:217).  The cycle is built from the symmetric part
-        (rho/dt M + mu K + gamma rho G) once at enable time; convection
-        enters only through the fine-level Krylov operator, so this is a
-        preconditioner choice — the converged update is unchanged."""
-        from ...la.multigrid import make_velocity_mg
+        include/insim.h:217).
+
+        galerkin=True (default) coarsens the TRUE per-Newton velocity
+        block (convection INCLUDED) via GalerkinMG — works on hanging-
+        node meshes (geometric tables, no node-injection masks).
+        galerkin=False keeps the frozen symmetric cycle
+        (rho/dt M + mu K + gamma rho G), full refinements only."""
+        from ...la.multigrid import GalerkinMG, make_velocity_mg
         assert meshes[-1].n_cells == self.mesh.n_cells
         params = self.params
         pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
         fixed = np.asarray(self.u_constraints.fixed)
-        self._velocity_mg = make_velocity_mg(
-            meshes, params.fluid_velocity_degree, self.dim,
-            params.fluid_rho, params.viscosity, params.grad_div,
-            float(self.time.get_delta_t()), fixed, n_smooth, pdt)
+        if galerkin:
+            from ...fe.space import FESpace
+            deg = params.fluid_velocity_degree
+            spaces = [FESpace(m, deg) for m in meshes[:-1]] + \
+                [self.u_space]
+            self._velocity_mg = GalerkinMG(
+                spaces, self.u_space.cell_dofs, None, fixed,
+                n_smooth=n_smooth, dtype=pdt, ncomp=self.dim)
+        else:
+            self._velocity_mg = make_velocity_mg(
+                meshes, params.fluid_velocity_degree, self.dim,
+                params.fluid_rho, params.viscosity, params.grad_div,
+                float(self.time.get_delta_t()), fixed, n_smooth, pdt)
         self._newton_iter = jax.jit(self._newton_iter_impl)
 
     # ------------------------------------------------------------------
@@ -419,10 +444,35 @@ class InsIM(FluidSolverBase):
             Mp_loc, self.cell_dofs_p, self.n_p, x))
         mp_dinv = jnp.where(Mp_diag != 0, 1.0 / Mp_diag, 1.0)
 
+        from ...la.multigrid import GalerkinMG
         mg = getattr(self, "_pressure_mg", None)
-        sm_M = mg.vcycle if mg is not None else (lambda r: r * sm_dinv)
+        if isinstance(mg, GalerkinMG):
+            # cell-local mass-Schur blocks of THIS Newton matrix (the
+            # reference rebuilds mass_schur = B diag(Mu)^-1 B^T explicitly
+            # every step, source/mpi_insim.cpp:36-50)
+            sm_loc = jnp.einsum("cik,ck,cjk->cij", Apu,
+                                mu_inv[self.cell_dofs_u], Apu,
+                                preferred_element_type=pdt)
+            fixp = pcons.fixed[self.cell_dofs_p]
+            sm_loc = jnp.where(fixp[:, None, :] | fixp[:, :, None], 0.0,
+                               sm_loc)
+            sm_M = mg.build(sm_loc)
+        elif mg is not None:
+            sm_M = mg.vcycle
+        else:
+            sm_M = lambda r: r * sm_dinv
         vmg = getattr(self, "_velocity_mg", None)
-        a_M = vmg.vcycle if vmg is not None else apply_dinv_A
+        if isinstance(vmg, GalerkinMG):
+            # TRUE velocity block (convection included), fixed rows/cols
+            # projected out
+            fixu = ucons.fixed[self.cell_dofs_u]
+            Auu_m = jnp.where(fixu[:, None, :] | fixu[:, :, None], 0.0,
+                              Auu)
+            a_M = vmg.build(Auu_m)
+        elif vmg is not None:
+            a_M = vmg.vcycle
+        else:
+            a_M = apply_dinv_A
 
         def _apply(v, with_stats):
             out_dtype = v.dtype
@@ -438,7 +488,7 @@ class InsIM(FluidSolverBase):
                 # FLEXIBLE, so a fixed inexact inner apply only trades
                 # inner for outer iterations (Washio Tpp does the same
                 # with one ILU sweep, source/mpi_supg_solver.cpp:56-133)
-                sm_x, sm_it = mg.vcycle(vp), jnp.zeros((), jnp.int32)
+                sm_x, sm_it = sm_M(vp), jnp.zeros((), jnp.int32)
             else:
                 r = cg(op_Sm, vp, M=sm_M, atol=atol_p,
                        maxiter=self.schur_cg_maxiter)
@@ -449,9 +499,9 @@ class InsIM(FluidSolverBase):
                 # a_mg_cycles V-cycles of the frozen symmetric velocity
                 # operator replace the inner FGMRES A-solve (reference:
                 # one exact MUMPS solve, source/mpi_insim.cpp:122-127)
-                au_x = vmg.vcycle(utmp)
+                au_x = a_M(utmp)
                 for _ in range(self.a_mg_cycles - 1):
-                    au_x = au_x + vmg.vcycle(utmp - op_A(au_x))
+                    au_x = au_x + a_M(utmp - op_A(au_x))
                 au_it = jnp.zeros((), jnp.int32)
             else:
                 atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)

@@ -154,7 +154,7 @@ class SUPGFluidSolver(FluidSolverBase):
         self.sigma_pml_field = fn
 
     def enable_pressure_mg(self, meshes, n_smooth: int = 2,
-                       fixed_prefix: bool = True):
+                       fixed_prefix: bool = True, galerkin: bool = True):
         """Attach a geometric V-cycle as the preconditioner of the Tpp
         inner GMRES, replacing the cell-local B2pp diagonal surrogate.
 
@@ -170,16 +170,30 @@ class SUPGFluidSolver(FluidSolverBase):
 
         `meshes`: nested hierarchy, coarsest first, finest == self.mesh
         (locally refined finest levels use the geometric-prolongation
-        fallback in la/multigrid.py)."""
-        from ...la.multigrid import make_pressure_mg
+        fallback in la/multigrid.py).
+
+        galerkin=True (default) coarsens the TRUE per-Newton B2pp element
+        blocks (GalerkinMG) — the faithful TPU analog of the reference's
+        per-step ILU(0) of the reassembled B2pp.  The frozen Laplacian
+        cycle (galerkin=False) mis-preconditions mass-dominated Tpp
+        operators (measured: 34 inner iters at fsi-wall-3D full res vs
+        O(10) expected)."""
+        from ...la.multigrid import GalerkinMG, make_pressure_mg
         assert meshes[-1].n_cells == self.mesh.n_cells, \
             "finest hierarchy level must be the solver mesh"
         assert self.params.fluid_pressure_degree == 1, \
             "pressure V-cycle assumes a Q1 pressure space"
         pdt = jnp.float32 if self.mixed_precision_precond else real_dtype()
         fixed = np.asarray(self.p_constraints.fixed)
-        self._pressure_mg = make_pressure_mg(meshes, fixed, n_smooth, pdt,
-                                     fixed_prefix=fixed_prefix)
+        if galerkin:
+            from ...fe.space import FESpace
+            spaces = [FESpace(m, 1) for m in meshes[:-1]] + [self.p_space]
+            self._pressure_mg = GalerkinMG(
+                spaces, self.p_space.cell_dofs, None, fixed,
+                n_smooth=n_smooth, dtype=pdt)
+        else:
+            self._pressure_mg = make_pressure_mg(
+                meshes, fixed, n_smooth, pdt, fixed_prefix=fixed_prefix)
         # fresh jit so a trace cached before enabling cannot keep the
         # diagonal-surrogate path baked in
         self._newton_iter = jax.jit(self._newton_iter_impl)
@@ -300,10 +314,24 @@ class SUPGFluidSolver(FluidSolverBase):
         b2pp_diag = jnp.where(pcons.fixed, 1.0, b2pp_diag)
         b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
                              1.0)
-        # V-cycle B2pp preconditioner when a hierarchy is attached
-        # (enable_pressure_mg); diagonal surrogate otherwise
+        # B2pp preconditioner when a hierarchy is attached
+        # (enable_pressure_mg); diagonal surrogate otherwise.  GalerkinMG
+        # coarsens the TRUE cell-local B2pp blocks of THIS Newton matrix
+        # (reference rebuilds + ILU(0)-factors B2pp the same way every
+        # step, source/mpi_supg_solver.cpp:56-133)
         mg = getattr(self, "_pressure_mg", None)
-        tpp_M = mg.vcycle if mg is not None else (lambda r: r * b2pp_inv)
+        from ...la.multigrid import GalerkinMG
+        if isinstance(mg, GalerkinMG):
+            b2pp_loc = App - jnp.einsum("cik,ck,ckj->cij", Apv, rinv_loc,
+                                        Avp, preferred_element_type=pdt)
+            fixp = pcons.fixed[self.cell_dofs_p]
+            b2pp_loc = jnp.where(fixp[:, None, :] | fixp[:, :, None],
+                                 0.0, b2pp_loc)
+            tpp_M = mg.build(b2pp_loc)
+        elif mg is not None:
+            tpp_M = mg.vcycle
+        else:
+            tpp_M = lambda r: r * b2pp_inv
 
         def _apply(v, with_stats):
             out_dtype = v.dtype
@@ -803,95 +831,117 @@ class SCnsIM(SUPGFluidSolver):
         fsi_sig_q = jnp.einsum("ql,clab->cqab", Nu, fsi_stress_nodal[cd_u])
 
         # see SUPGInsIM for the deal.II tensor-contraction conventions
-        ug = jnp.einsum("cqx,cqlx->cql", uc, gu)     # grad N_l . u
         uTG = jnp.einsum("cqa,cqax->cqx", uc, G)     # (grad u)^T u
         Gu = jnp.einsum("cqax,cqx->cqa", G, uc)      # (u . grad) u
-        glgm = jnp.einsum("cqlx,cqmx->cqlm", gu, gu)
         accel = (uc - un) / dt
         rJ = rho_q * JxW
 
+        # Matrix block in f32 when f32_matrix: the Jacobian is already
+        # applied/preconditioned in f32 (inexact Newton) and f64 einsums
+        # are EMULATED on TPU — measured 1032 -> 22 ms at fsi-wall-3D
+        # full resolution.  The residual below stays f64.
+        mdt = jnp.float32 if self.f32_matrix else eval_pt.dtype
+        c_ = (lambda a: a.astype(mdt))
+        Nu_, Np_, gu_, gp_ = c_(Nu), c_(Np), c_(gu), c_(gp)
+        JxW_, rJ_, sig_ = c_(JxW), c_(rJ), c_(sig)
+        uc_, G_, un_, gpc_ = c_(uc), c_(G), c_(un), c_(gpc)
+        rho_, ws_, wp_, wl_ = c_(rho_q), c_(w_s), c_(w_p), c_(w_l)
+        pc_, nf_, ind_, divu_ = c_(pc), c_(nf), c_(ind), c_(divu)
+        visc_, dsig_, bf_ = c_(visc_q), c_(div_sigma), c_(bf)
+        facc_ = c_(fsi_acc_q)
+        I_ = jnp.eye(d, dtype=mdt)
+        ug_ = jnp.einsum("cqx,cqlx->cql", uc_, gu_)   # grad N_l . u
+        uTG_ = c_(uTG)
+        glgm_ = jnp.einsum("cqlx,cqmx->cqlm", gu_, gu_)
+
         # ---------------- Auu -------------------------------------------
-        gg_v = jnp.einsum("cq,cqlx,cqmx->clm", visc_q * JxW, gu, gu)
-        NN_r = jnp.einsum("cq,ql,qm->clm", rJ, Nu, Nu)
-        conv2 = jnp.einsum("cq,ql,cqm->clm", rJ, Nu, ug)
+        gg_v = jnp.einsum("cq,cqlx,cqmx->clm", visc_ * JxW_, gu_, gu_)
+        NN_r = jnp.einsum("cq,ql,qm->clm", rJ_, Nu_, Nu_)
+        conv2 = jnp.einsum("cq,ql,cqm->clm", rJ_, Nu_, ug_)
         Auu = jnp.einsum("clm,ab->clamb",
                          gg_v + conv2 + NN_r / dt
-                         + jnp.einsum("cq,ql,qm->clm", rJ * sig, Nu, Nu), I)
-        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", rJ, Nu, Nu, G)
+                         + jnp.einsum("cq,ql,qm->clm", rJ_ * sig_, Nu_,
+                                      Nu_), I_)
+        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", rJ_, Nu_, Nu_, G_)
         # SUPG (test vector u[a] grad N_l)
-        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", rho_q * w_s, uc,
-                               Nu, gu, G)
-        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", rho_q * w_s, uc, uc,
-                               glgm)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
-                               gu, uTG, I)
-        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s / dt, uc,
-                               gu, Nu)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s / dt,
-                               Nu, gu, uc - un, I)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu, gpc,
-                               I)
-        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu,
-                               div_sigma, I)
-        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
-                               gu, bf, I)
+        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", rho_ * ws_,
+                               uc_, Nu_, gu_, G_)
+        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", rho_ * ws_, uc_,
+                               uc_, glgm_)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_ * ws_, Nu_,
+                               gu_, uTG_, I_)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_ * ws_ / dt,
+                               uc_, gu_, Nu_)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_ * ws_ / dt,
+                               Nu_, gu_, uc_ - un_, I_)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", ws_, Nu_, gu_,
+                               gpc_, I_)
+        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", ws_, Nu_, gu_,
+                               dsig_, I_)
+        Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_ * ws_, Nu_,
+                               gu_, bf_, I_)
         # SUPG PML
-        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s * sig,
-                               uc, gu, Nu)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s * sig,
-                               Nu, gu, uc, I)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_ * ws_ * sig_,
+                               uc_, gu_, Nu_)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb",
+                               rho_ * ws_ * sig_, Nu_, gu_, uc_, I_)
         # SUPG FSI acceleration (artificial fluid)
         Auu = Auu - jnp.einsum("cq,qm,cqlx,cqx,ab->clamb",
-                               w_s * ind * rho_q, Nu, gu, fsi_acc_q, I)
+                               ws_ * ind_ * rho_, Nu_, gu_, facc_, I_)
         # LSIC velocity divergence (+ compressible corrections)
         Auu = Auu + jnp.einsum("cq,cqla,cqmb->clamb",
-                               rho_q * w_l * CP_TO_CV * (1 + pc * nf / ATM),
-                               gu, gu)
+                               rho_ * wl_ * CP_TO_CV *
+                               (1 + pc_ * nf_ / ATM), gu_, gu_)
         # LSIC pressure-gradient coupling (u-trial part)
         Auu = Auu + jnp.einsum("cq,cqla,qm,cqb->clamb",
-                               rho_q * w_l * nf / ATM, gu, Nu, gpc)
+                               rho_ * wl_ * nf_ / ATM, gu_, Nu_, gpc_)
         Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
 
         # ---------------- Aup -------------------------------------------
-        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW)
-        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", w_s, uc, gu, gp)
+        Aup = -jnp.einsum("cqla,qn,cq->clan", gu_, Np_, JxW_)
+        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", ws_, uc_, gu_,
+                               gp_)
         # LSIC acceleration terms (fluid + artificial-solid bulk)
         Aup = Aup + jnp.einsum("cq,cqla,qn->clan",
-                               rho_q * w_l / dt * (nf / ATM + ind / KAPPA_S),
-                               gu, Np)
+                               rho_ * wl_ / dt *
+                               (nf_ / ATM + ind_ / KAPPA_S), gu_, Np_)
         # LSIC velocity-divergence cross term
         Aup = Aup + jnp.einsum("cq,cqla,qn->clan",
-                               rho_q * w_l * CP_TO_CV * nf * divu / ATM, gu,
-                               Np)
+                               rho_ * wl_ * CP_TO_CV * nf_ * divu_ / ATM,
+                               gu_, Np_)
         # LSIC pressure gradient (p-trial part)
         Aup = Aup + jnp.einsum("cq,cqla,cqnx,cqx->clan",
-                               rho_q * w_l * nf / ATM, gu, gp, uc)
+                               rho_ * wl_ * nf_ / ATM, gu_, gp_, uc_)
         Aup = Aup.reshape(n_c, self.nu_loc, nlp)
 
         # ---------------- Apu -------------------------------------------
         # isentropic continuity (reference: source/mpi_scnsim.cpp:395-414)
         Apu = jnp.einsum("cq,qn,cqmb->cnmb",
-                         CP_TO_CV * (ATM + pc * nf) / ATM * JxW, Np, gu)
-        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", nf / ATM * JxW, Np, Nu,
-                               gpc)
+                         CP_TO_CV * (ATM + pc_ * nf_) / ATM * JxW_, Np_,
+                         gu_)
+        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", nf_ / ATM * JxW_,
+                               Np_, Nu_, gpc_)
         # PSPG
-        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", rho_q * w_p, gp, Nu,
-                               G)
-        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", rho_q * w_p, uc, gp,
-                               gu)
-        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p / dt, gp, Nu)
-        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p * sig, gp, Nu)
+        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", rho_ * wp_, gp_,
+                               Nu_, G_)
+        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", rho_ * wp_, uc_,
+                               gp_, gu_)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_ * wp_ / dt, gp_,
+                               Nu_)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_ * wp_ * sig_, gp_,
+                               Nu_)
         Apu = Apu.reshape(n_c, nlp, self.nu_loc)
 
         # ---------------- App -------------------------------------------
-        App = jnp.einsum("cq,qn,qo->cno", sig / ATM * JxW, Np, Np)
-        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", nf / ATM * JxW, Np, gp,
-                               uc)
-        App = App + jnp.einsum("cq,qn,qo,cq->cno", JxW / ATM, Np, Np,
-                               divu * nf)
+        App = jnp.einsum("cq,qn,qo->cno", sig_ / ATM * JxW_, Np_, Np_)
+        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", nf_ / ATM * JxW_,
+                               Np_, gp_, uc_)
+        App = App + jnp.einsum("cq,qn,qo,cq->cno", JxW_ / ATM, Np_, Np_,
+                               divu_ * nf_)
         App = App + jnp.einsum("cq,qn,qo->cno",
-                               (nf / ATM + ind / KAPPA_S) / dt * JxW, Np, Np)
-        App = App + jnp.einsum("cq,cqnx,cqox->cno", w_p, gp, gp)
+                               (nf_ / ATM + ind_ / KAPPA_S) / dt * JxW_,
+                               Np_, Np_)
+        App = App + jnp.einsum("cq,cqnx,cqox->cno", wp_, gp_, gp_)
 
         A_loc = jnp.concatenate([
             jnp.concatenate([Auu, Aup], axis=2),
@@ -987,68 +1037,91 @@ class SerialSCnsIM(SUPGFluidSolver):
         fsi_sig_q = jnp.einsum("ql,clab->cqab", Nu, fsi_stress_nodal[cd_u])
 
         # deal.II tensor conventions: see SUPGInsIM
-        ug = jnp.einsum("cqx,cqlx->cql", uc, gu)
         uTG = jnp.einsum("cqa,cqax->cqx", uc, G)
         Gu = jnp.einsum("cqax,cqx->cqa", G, uc)
-        glgm = jnp.einsum("cqlx,cqmx->cqlm", gu, gu)
         accel = (uc - un) / dt
         rJ = rho_q * JxW
 
+        # Matrix block in f32 when f32_matrix: the Jacobian is already
+        # applied/preconditioned in f32 (inexact Newton, _newton_iter_impl)
+        # and f64 einsums are EMULATED on TPU — measured 1032 -> 22 ms at
+        # fsi-wall-3D full res.  The residual below stays f64.
+        mdt = jnp.float32 if self.f32_matrix else eval_pt.dtype
+        c_ = (lambda a: a.astype(mdt))
+        m_Nu, m_Np, m_gu, m_gp = c_(Nu), c_(Np), c_(gu), c_(gp)
+        m_JxW, m_rJ, m_sig = c_(JxW), c_(rJ), c_(sig)
+        m_uc, m_G, m_un, m_gpc = c_(uc), c_(G), c_(un), c_(gpc)
+        m_rho, m_ws, m_wp = c_(rho_q), c_(w_s), c_(w_p)
+        m_pc, m_nf, m_ind, m_divu = c_(pc), c_(nf), c_(ind), c_(divu)
+        m_I = jnp.eye(d, dtype=mdt)
+        m_ug = jnp.einsum("cqx,cqlx->cql", m_uc, m_gu)
+        m_uTG = c_(uTG)
+        m_glgm = jnp.einsum("cqlx,cqmx->cqlm", m_gu, m_gu)
+
         # ---------------- Auu (scnsim.cpp:338-397) -----------------------
-        gg = jnp.einsum("cqlx,cqmx,cq->clm", gu, gu, JxW)
-        NN_r = jnp.einsum("cq,ql,qm->clm", rJ, Nu, Nu)
-        conv2 = jnp.einsum("cq,ql,cqm->clm", rJ, Nu, ug)
+        gg = jnp.einsum("cqlx,cqmx,cq->clm", m_gu, m_gu, m_JxW)
+        NN_r = jnp.einsum("cq,ql,qm->clm", m_rJ, m_Nu, m_Nu)
+        conv2 = jnp.einsum("cq,ql,cqm->clm", m_rJ, m_Nu, m_ug)
         Auu = jnp.einsum("clm,ab->clamb",
                          mu * gg + conv2 + NN_r / dt
-                         + jnp.einsum("cq,ql,qm->clm", rJ * sig, Nu, Nu), I)
-        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", rJ, Nu, Nu, G)
+                         + jnp.einsum("cq,ql,qm->clm", m_rJ * m_sig, m_Nu,
+                                      m_Nu), m_I)
+        Auu = Auu + jnp.einsum("cq,ql,qm,cqab->clamb", m_rJ, m_Nu, m_Nu,
+                               m_G)
         # SUPG (test vector u[a] grad N_l)
-        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", rho_q * w_s, uc,
-                               Nu, gu, G)
-        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", rho_q * w_s, uc, uc,
-                               glgm)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s, Nu,
-                               gu, uTG, I)
-        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s / dt, uc,
-                               gu, Nu)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s / dt,
-                               Nu, gu, uc - un, I)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", w_s, Nu, gu, gpc,
-                               I)
+        Auu = Auu + jnp.einsum("cq,cqa,qm,cqlx,cqbx->clamb", m_rho * m_ws,
+                               m_uc, m_Nu, m_gu, m_G)
+        Auu = Auu + jnp.einsum("cq,cqa,cqb,cqlm->clamb", m_rho * m_ws,
+                               m_uc, m_uc, m_glgm)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", m_rho * m_ws,
+                               m_Nu, m_gu, m_uTG, m_I)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", m_rho * m_ws / dt,
+                               m_uc, m_gu, m_Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb",
+                               m_rho * m_ws / dt, m_Nu, m_gu, m_uc - m_un,
+                               m_I)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", m_ws, m_Nu,
+                               m_gu, m_gpc, m_I)
         # SUPG PML
-        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb", rho_q * w_s * sig,
-                               uc, gu, Nu)
-        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb", rho_q * w_s * sig,
-                               Nu, gu, uc, I)
+        Auu = Auu + jnp.einsum("cq,cqa,cqlb,qm->clamb",
+                               m_rho * m_ws * m_sig, m_uc, m_gu, m_Nu)
+        Auu = Auu + jnp.einsum("cq,qm,cqlx,cqx,ab->clamb",
+                               m_rho * m_ws * m_sig, m_Nu, m_gu, m_uc, m_I)
         Auu = Auu.reshape(n_c, self.nu_loc, self.nu_loc)
 
         # ---------------- Aup --------------------------------------------
-        Aup = -jnp.einsum("cqla,qn,cq->clan", gu, Np, JxW)
-        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", w_s, uc, gu, gp)
+        Aup = -jnp.einsum("cqla,qn,cq->clan", m_gu, m_Np, m_JxW)
+        Aup = Aup + jnp.einsum("cq,cqa,cqlx,cqnx->clan", m_ws, m_uc, m_gu,
+                               m_gp)
         Aup = Aup.reshape(n_c, self.nu_loc, nlp)
 
         # ---------------- Apu (continuity, scnsim.cpp:400-413) -----------
         Apu = jnp.einsum("cq,qn,cqmb->cnmb",
-                         (ATM + pc) / ATM * JxW, Np, gu)
-        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", JxW / CA, Np, Nu, gpc)
+                         (ATM + m_pc) / ATM * m_JxW, m_Np, m_gu)
+        Apu = Apu + jnp.einsum("cq,qn,qm,cqb->cnmb", m_JxW / CA, m_Np,
+                               m_Nu, m_gpc)
         # PSPG
-        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", rho_q * w_p, gp, Nu,
-                               G)
-        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", rho_q * w_p, uc, gp,
-                               gu)
-        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p / dt, gp, Nu)
-        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", rho_q * w_p * sig, gp, Nu)
+        Apu = Apu + jnp.einsum("cq,cqnx,qm,cqbx->cnmb", m_rho * m_wp, m_gp,
+                               m_Nu, m_G)
+        Apu = Apu + jnp.einsum("cq,cqb,cqnx,cqmx->cnmb", m_rho * m_wp,
+                               m_uc, m_gp, m_gu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", m_rho * m_wp / dt, m_gp,
+                               m_Nu)
+        Apu = Apu + jnp.einsum("cq,cqnb,qm->cnmb", m_rho * m_wp * m_sig,
+                               m_gp, m_Nu)
         Apu = Apu.reshape(n_c, nlp, self.nu_loc)
 
         # ---------------- App --------------------------------------------
-        App = jnp.einsum("cq,qn,qo->cno", sig / CA * JxW, Np, Np)
+        App = jnp.einsum("cq,qn,qo->cno", m_sig / CA * m_JxW, m_Np, m_Np)
         App = App + jnp.einsum("cq,qn,qo,cq->cno",
-                               CP_TO_CV * nf / CA * JxW, Np, Np, divu)
-        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", nf / CA * JxW, Np, gp,
-                               uc)
+                               CP_TO_CV * m_nf / CA * m_JxW, m_Np, m_Np,
+                               m_divu)
+        App = App + jnp.einsum("cq,qn,cqox,cqx->cno", m_nf / CA * m_JxW,
+                               m_Np, m_gp, m_uc)
         App = App + jnp.einsum("cq,qn,qo->cno",
-                               (nf / CA + ind / KAPPA_S) / dt * JxW, Np, Np)
-        App = App + jnp.einsum("cq,cqnx,cqox->cno", w_p, gp, gp)
+                               (m_nf / CA + m_ind / KAPPA_S) / dt * m_JxW,
+                               m_Np, m_Np)
+        App = App + jnp.einsum("cq,cqnx,cqox->cno", m_wp, m_gp, m_gp)
 
         A_loc = jnp.concatenate([
             jnp.concatenate([Auu, Aup], axis=2),

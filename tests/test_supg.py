@@ -184,3 +184,39 @@ def test_supg_on_device_stepper_matches_host():
     u2 = np.asarray(f2.present_solution)
     scale = max(1.0, np.abs(u1).max())
     assert np.abs(u2 - u1).max() < 1e-12 * scale
+
+
+def test_scnsim_f32_matrix_assembly_consistent():
+    """The split-precision assembly (matrix f32, residual f64) matches the
+    f64 matrix to f32 roundoff and leaves the rhs bit-identical."""
+    import jax.numpy as jnp
+    from openifem_tpu.config import real_dtype
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.solvers.fluid.supg import SCnsIM
+
+    p = AllParameters.from_file(
+        f"{REF}/fsi-wall-3D/fsi-wall-3D.prm")
+    p.end_time = p.time_step
+
+    class F32(SCnsIM):
+        f32_matrix = True
+
+    rdt = real_dtype()
+    fm = generators.subdivided_hyper_rectangle([3, 3, 6], [0, 0, 0],
+                                               [1, 1, 4])
+    a = SCnsIM(fm, p)
+    a.setup()
+    b = F32(fm, p)
+    b.setup()
+    eddy = jnp.zeros(a.u_space.n_nodes, dtype=rdt)
+    fan = jnp.zeros((a.u_space.n_nodes, a.dim), dtype=rdt)
+    fsn = jnp.zeros((a.u_space.n_nodes, a.dim, a.dim), dtype=rdt)
+    ev = a.nonzero_constraints.apply_increment(a.present_solution)
+    args = (ev, a.present_solution, a.indicator, fan, fsn,
+            a.stress_device, eddy)
+    A64, r64 = a._assemble(*args)
+    A32, r32 = b._assemble(*args)
+    assert A32.dtype == jnp.float32
+    scale = float(jnp.abs(A64).max())
+    assert float(jnp.abs(A32.astype(jnp.float64) - A64).max()) < 1e-5 * scale
+    assert float(jnp.abs(r32 - r64).max()) == 0.0
