@@ -303,17 +303,26 @@ def bench_fsi_leaflet(n_steps=20):
         # only to what the Newton target (fluid_tolerance, rel to r_0)
         # can observe; the converged-check solve costs one matvec
         newton_forcing = (1e-4, 0.5)
+        # loose inner A-solve: the flexible outer absorbs it; measured
+        # total matvecs/step 762 (1e-3) -> 395 (1e-1) on this config.
+        # grad_div = 1.0 here makes pointwise-smoothed velocity MG
+        # spectrally wrong (grad-div near-kernel), so Jacobi-FGMRES it is.
+        a_inner_rtol = 1e-1
 
     # throughput bench: no per-step VTU writes (the reference prm's
     # output interval == dt; solver throughput is what the metric is)
     p.output_interval = 1e9
 
-    fluid_mesh = generators.subdivided_hyper_rectangle(
+    # nested rect bases for the V-cycle hierarchies (coarsest first)
+    mg_bases = [generators.subdivided_hyper_rectangle(
+        [int(L / h) // r, int(H / h) // r], [0.0, 0.0], [L, H])
+        for r in (4, 2)]
+    base_mesh = generators.subdivided_hyper_rectangle(
         [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
-    centers = fluid_mesh.cell_centers()
+    centers = base_mesh.cell_centers()
     flags = ((centers[:, 0] >= L / 4 - a) & (centers[:, 0] <= L / 4 + 2 * a)
              & (centers[:, 1] < H / 2))
-    fluid_mesh = fluid_mesh.refine(flags)
+    fluid_mesh = base_mesh.refine(flags)
     fluid = BenchInsIM(fluid_mesh, p, bc=bv)
     solid_mesh = generators.subdivided_hyper_rectangle(
         [int(a / h), int(b / h)], [L / 4, 0.0], [a + L / 4, b])
@@ -329,6 +338,11 @@ def bench_fsi_leaflet(n_steps=20):
     solid.setup()
     fluid.mesh = fluid.mesh.refine_global(p.global_refinements[0])
     fluid.setup()
+    # NO V-cycles at this size: measured 5007 ms/step with the 4-level
+    # pressure MG vs 3523 without — at 17k dofs (2.2k pressure dofs) the
+    # per-apply cycle overhead exceeds the Sm-CG iterations it saves.
+    # (mg_bases kept for experimentation at finer resolutions.)
+    del mg_bases
     fsi._setup_coupling()
     newtons = []
     first_step = True

@@ -538,6 +538,9 @@ class GalerkinMG:
     representative blocks (rep_blocks) and reused; smoothing targets
     [lam/4, lam], so modest spectrum drift is absorbed."""
 
+    dense_coarse_max = 3000   # dofs; above this the coarse solve falls
+    # back to Chebyshev sweeps (dense LU would blow VMEM)
+
     def __init__(self, spaces, fine_cell_dofs, rep_blocks, fixed_fine,
                  n_smooth: int = 2, dtype=jnp.float32, ncomp: int = 1,
                  lam_safety: float = 1.15):
@@ -723,21 +726,36 @@ class GalerkinMG:
         # dense coarse inverse with a fixed small Tikhonov deflation
         # (pinv is not jittable cheaply; the coarse op may be singular
         # only for pure-Neumann problems — the shift makes the solve a
-        # bounded coarse correction, fine for a preconditioner)
-        blocks0 = level_blocks[0]
-        cd0 = self.cell_dofs[0]
-        if k != 1:
-            nl0 = cd0.shape[1]
-            cd0 = (jnp.repeat(cd0 * k, k, axis=1) +
-                   jnp.tile(jnp.arange(k, dtype=cd0.dtype), nl0))
+        # bounded coarse correction, fine for a preconditioner).  For a
+        # LARGE coarsest level (shallow hierarchies) the dense inverse
+        # would blow VMEM — fall back to extra Chebyshev sweeps there.
         n0 = self.n0
-        A0 = jnp.zeros((n0, n0), dtype=dtype)
-        A0 = A0.at[cd0[:, :, None], cd0[:, None, :]].add(blocks0)
-        tr = jnp.trace(A0) / n0
-        A0 = A0 + (1e-8 * tr) * jnp.eye(n0, dtype=dtype)
-        # one-shot factor-free solve: explicit inverse of the small
-        # coarse matrix on device (n0 <= a few thousand)
-        A0_inv = jnp.linalg.inv(A0.astype(jnp.float32)).astype(dtype)
+        if n0 <= self.dense_coarse_max:
+            blocks0 = level_blocks[0]
+            cd0 = self.cell_dofs[0]
+            if k != 1:
+                nl0 = cd0.shape[1]
+                cd0 = (jnp.repeat(cd0 * k, k, axis=1) +
+                       jnp.tile(jnp.arange(k, dtype=cd0.dtype), nl0))
+            A0 = jnp.zeros((n0, n0), dtype=dtype)
+            A0 = A0.at[cd0[:, :, None], cd0[:, None, :]].add(blocks0)
+            tr = jnp.trace(A0) / n0
+            A0 = A0 + (1e-6 * tr) * jnp.eye(n0, dtype=dtype)
+            # Newton-Schulz inverse: pure MXU matmuls (an in-graph LU
+            # custom-call faults the TPU worker under the VMEM pressure
+            # of the surrounding Krylov program).  X0 = A^T/(|A|_1 |A|_inf)
+            # guarantees convergence; 30 doublings cover cond <~ 1e8,
+            # plenty for an MG coarse CORRECTION.
+            A32 = A0.astype(jnp.float32)
+            norm1 = jnp.max(jnp.sum(jnp.abs(A32), axis=0))
+            norminf = jnp.max(jnp.sum(jnp.abs(A32), axis=1))
+            X = A32.T / (norm1 * norminf)
+            I0 = jnp.eye(n0, dtype=jnp.float32)
+            for _ in range(30):
+                X = X @ (2.0 * I0 - A32 @ X)
+            A0_inv = X.astype(dtype)
+        else:
+            A0_inv = None
 
         n_smooth = self.n_smooth
         if self.lam is not None:
@@ -807,7 +825,10 @@ class GalerkinMG:
 
             def cycle(i, bi):
                 if i == 0:
-                    return A0_inv @ bi
+                    if A0_inv is not None:
+                        return A0_inv @ bi
+                    return chebyshev(0, bi, jnp.zeros_like(bi),
+                                     x_is_zero=True)
                 mv, dinv, fixed = ops[i]
                 x = chebyshev(i, bi, jnp.zeros_like(bi), x_is_zero=True)
                 r = bi - mv(x)

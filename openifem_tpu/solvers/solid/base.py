@@ -21,6 +21,7 @@ from ...fe.shapes import gauss_quadrature
 from ...fe.space import FESpace, SystemSpace
 from ...la.constraints import Constraints
 from ...la.krylov import cg
+from ...la.operators import element_matvec
 from ...parameters import AllParameters, component_flag_to_mask
 from ...utils.timectl import Time
 
@@ -340,3 +341,38 @@ class SolidSolverBase:
 
     def _stress_from_strain(self, eps, gradu):
         raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Dense direct solve for SMALL systems (the FSI solids are hundreds to
+    # a few thousand dofs): CG on such systems is hundreds of sequential
+    # tiny matvecs on the TPU (latency-bound: measured 772 ms for the
+    # 594-dof leaflet solid Newton loop), while a dense f32 LU + f64
+    # iterative refinement is a handful of MXU calls.  The reference's
+    # serial solids use a direct-like solve too (CG+SSOR converging in
+    # O(10) iterations, source/solid_solver.cpp:125-142).
+    dense_solve_max = 4096
+
+    def _dense_solve(self, A_loc, cell_dofs, cons, b, n_refine: int = 2):
+        """x = A^-1 b with identity fixed rows, via dense f32 LU + f64
+        refinement (TPU f64 has no native LU).  Jittable."""
+        n = self.n_dofs
+        A = jnp.zeros((n, n), dtype=jnp.float32)
+        Af = A_loc.astype(jnp.float32)
+        cd = cell_dofs
+        A = A.at[cd[:, :, None], cd[:, None, :]].add(Af)
+        fixed = cons.fixed
+        A = jnp.where(fixed[:, None] | fixed[None, :], 0.0, A)
+        A = A + jnp.diag(jnp.where(fixed, 1.0, 0.0).astype(jnp.float32))
+        lu, piv = jax.scipy.linalg.lu_factor(A)
+
+        def mv(x):
+            y = element_matvec(A_loc, cell_dofs, n, x)
+            return jnp.where(fixed, x, y)
+
+        x = jax.scipy.linalg.lu_solve(
+            (lu, piv), b.astype(jnp.float32)).astype(b.dtype)
+        for _ in range(n_refine):
+            r = b - mv(x)
+            x = x + jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(jnp.float32)).astype(b.dtype)
+        return x

@@ -128,6 +128,12 @@ class HyperElasticity(SolidSolverBase):
 
         dt2inv = 1.0 / (beta * dt * dt)
         A_full = A_loc + self.M_loc * dt2inv
+        if self.n_dofs <= self.dense_solve_max and not cons.any_hanging:
+            # small system: dense f32 LU + f64 refinement beats hundreds
+            # of latency-bound CG matvecs (see SolidSolver._dense_solve)
+            x = self._dense_solve(A_full, self.cell_dofs, cons, b)
+            du = cons.distribute(x)
+            return du, res_F, jnp.zeros((), jnp.int32)
         diag = element_diag(A_full, self.cell_dofs, self.n_dofs)
         diag = jnp.where(cons.fixed, 1.0, diag)
         dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
