@@ -26,6 +26,7 @@ class BenchInsIM(InsIM):
     mp_sm_rtol = 1e-1
     f32_matrix = True
     newton_forcing = (1e-4, 0.5)
+    a_inner_rtol = 1e-1
 
 
 def build():

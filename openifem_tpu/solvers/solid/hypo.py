@@ -206,37 +206,48 @@ class HypoElasticity:
         self._sync()
 
     # ------------------------------------------------------------------
+    # Evaluate the RK4 rates in f32 (state + RK4 accumulation stay f64):
+    # f64 einsums are emulated on TPU, and the rates dominate the RKPM
+    # step cost.  Preconditioner-free explicit update, so this is a
+    # per-stage roundoff choice (~1e-7 rel), not a solver tolerance.
+    f32_rates = False
+
     def _rates(self, v, sigma, traction_q):
         """(v_dot at particles, sigma_dot at quad points) given state."""
         params = self.params
         d = self.dim
         lam, mu = self._lam, self._mu
+        out_dtype = v.dtype
+        rt = jnp.float32 if self.f32_rates else v.dtype
+        v = v.astype(rt)
+        sigma = sigma.astype(rt)
+        dpsi_q = self.dpsi_q.astype(rt)
+        qw = self.qw.astype(rt)
         # velocity gradient at quad points: L = sum_j v_j (x) dpsi_j
         # (gather over the fixed-K neighbor lists)
         v_g = v[self.idx_q]                                  # (q, K, a)
-        L = jnp.einsum("qkd,qka->qad", self.dpsi_q, v_g)
+        L = jnp.einsum("qkd,qka->qad", dpsi_q, v_g)
         eps_dot = 0.5 * (L + jnp.swapaxes(L, 1, 2))
         w_spin = 0.5 * (L - jnp.swapaxes(L, 1, 2))
-        I = jnp.eye(d, dtype=v.dtype)
+        I = jnp.eye(d, dtype=rt)
         sig_dot = (lam * jnp.trace(eps_dot, axis1=1, axis2=2)[:, None, None]
                    * I + 2 * mu * eps_dot
                    + jnp.einsum("qab,qbc->qac", w_spin, sigma)
                    - jnp.einsum("qab,qbc->qac", sigma, w_spin))
         # internal nodal force: f_p = -sum_q V_q sigma_q . dpsi_p(X_q)
-        contrib = -jnp.einsum("q,qab,qkb->qka", self.qw, sigma,
-                              self.dpsi_q)
-        f = jnp.zeros((self.n_p, d), dtype=v.dtype).at[
+        contrib = -jnp.einsum("q,qab,qkb->qka", qw, sigma, dpsi_q)
+        f = jnp.zeros((self.n_p, d), dtype=rt).at[
             self.idx_q.reshape(-1)].add(contrib.reshape(-1, d))
-        g = jnp.zeros(d, dtype=v.dtype).at[:len(params.gravity)].set(
-            jnp.asarray(params.gravity[:d], dtype=v.dtype))
-        f = f + self.mass[:, None] * g
+        g = jnp.zeros(d, dtype=rt).at[:len(params.gravity)].set(
+            jnp.asarray(params.gravity[:d], dtype=rt))
+        f = f + self.mass.astype(rt)[:, None] * g
         if traction_q is not None:
-            tc = jnp.einsum("b,bk,ba->bka", self.bqw, self.psi_b,
-                            traction_q)
+            tc = jnp.einsum("b,bk,ba->bka", self.bqw.astype(rt),
+                            self.psi_b.astype(rt), traction_q.astype(rt))
             f = f.at[self.idx_b.reshape(-1)].add(tc.reshape(-1, d))
-        a = f / self.mass[:, None]
+        a = f / self.mass.astype(rt)[:, None]
         a = jnp.where(self.fixed, 0.0, a)
-        return a, sig_dot
+        return a.astype(out_dtype), sig_dot.astype(out_dtype)
 
     def _rk4_step_impl(self, x, v, sigma, traction_q):
         dt = self.time.get_delta_t()
