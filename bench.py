@@ -91,12 +91,20 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
 
     stepper = s.make_on_device_stepper()
     t0 = time.time()
-    sol, rel, its = stepper(s.present_solution, 2)
+    sol, rel, its = stepper(s.present_solution, 1 if refine >= 4 else 2)
     sol.block_until_ready()
     compile_s = time.time() - t0
     t0 = time.time()
-    sol, worst_rel, worst_it = stepper(sol, timed)
-    sol.block_until_ready()
+    if refine >= 4:
+        # split the window into 1-step dispatches: a single dispatch
+        # above ~50 s trips the axon relay's execution cap ("TPU device
+        # error"); the ~5 ms relay latency is <0.1% at this step cost
+        for _ in range(timed):
+            sol, worst_rel, worst_it = stepper(sol, 1)
+        sol.block_until_ready()
+    else:
+        sol, worst_rel, worst_it = stepper(sol, timed)
+        sol.block_until_ready()
     elapsed = time.time() - t0
     assert float(worst_rel) < p.fluid_tolerance, \
         f"non-converged step in timed window: rel_res={float(worst_rel)}"
@@ -159,7 +167,11 @@ def bench_scnsim_r3(n_steps=5):
 
     class BenchSCnsIM(SCnsIM):
         mixed_precision_precond = True
-        f32_matrix = True
+        # f64 matrix: this case's fluid tolerance (1e-6 rel, 8-iteration
+        # Newton cap) exceeds what an f32 Jacobian can deliver (measured
+        # contraction ~0.55/iter vs quadratic with f64; the wall3d case
+        # converges fine in f32 at its looser tolerance)
+        f32_matrix = False
 
     p = AllParameters.from_file(
         "/root/reference/tests/fluid_cylinder_mpi_scnsim/"
@@ -169,23 +181,38 @@ def bench_scnsim_r3(n_steps=5):
     t0 = time.time()
     s = BenchSCnsIM(generators.flow_around_cylinder(2), p)
     s.add_hard_coded_boundary_condition(0, inflow)
-    s.mesh = s.mesh.refine_global(p.global_refinements[0])
+    meshes = [s.mesh]
+    for _ in range(p.global_refinements[0]):
+        meshes.append(meshes[-1].refine_global(1))
+    s.mesh = meshes[-1]
     s.bc_time += p.time_step
     s.setup()
+    # Galerkin-B2pp Tpp preconditioner (run()'s _refine_setup_with_mg does
+    # the same; the B2pp diagonal hits the inner-GMRES cap at refine=3)
+    s.enable_pressure_mg(meshes)
     setup_s = time.time() - t0
 
+    # warmup steps on the HOST Newton loop (per-Newton dispatches): the
+    # BC-pulse steps run ~8 Newton iterations and a single fused f64
+    # step dispatch exceeds the axon relay's ~50 s execution cap.  The
+    # post-pulse timed steps (3-4 Newton) fit one dispatch each.
     t0 = time.time()
     s.run_one_step(True, verbose=False)   # host first step (BC pulse)
+    for _ in range(warmup):
+        s.run_one_step(False, verbose=False)
     first_s = time.time() - t0
-    table = s.bc_value_table(warmup + n_steps)
+    # table rows correspond to the steps FOLLOWING the host warmup
+    table = s.bc_value_table(n_steps)
     stepper = s.make_on_device_stepper(table)
     t0 = time.time()
     sol, stress, rel, its = stepper(s.present_solution, s.stress_device,
-                                    warmup)
+                                    1, 0)
     sol.block_until_ready()
     compile_s = time.time() - t0
+    n_steps -= 1   # first timed-path step consumed as stepper compile
     t0 = time.time()
-    sol, stress, rel, its = stepper(sol, stress, n_steps)
+    for k in range(n_steps):
+        sol, stress, rel, its = stepper(sol, stress, 1, 1 + k)
     sol.block_until_ready()
     elapsed = time.time() - t0
     assert float(rel) < p.fluid_tolerance, \

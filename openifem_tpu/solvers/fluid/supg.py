@@ -390,11 +390,9 @@ class SUPGFluidSolver(FluidSolverBase):
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
         atol = self._outer_atol(res_norm, res0, self.outer_rtol * res_norm)
-        res = fgmres(op, b, M=precond, atol=atol,
-                     restart=self.outer_restart,
-                     max_restarts=self.outer_max_restarts)
-        du = cons.distribute(res.x)
-        return du, res_norm, res.iters, res.residual
+        x, iters, residual = self._outer_solve(op, b, precond, atol)
+        du = cons.distribute(x)
+        return du, res_norm, iters, residual
 
     # ------------------------------------------------------------------
     def bc_value_table(self, n_steps: int):
@@ -482,10 +480,13 @@ class SUPGFluidSolver(FluidSolverBase):
             return eval_pt, self._update_stress_impl(eval_pt), rel, it
 
         @jax.jit
-        def run_n(present, stress_nodal, n_steps):
+        def run_n(present, stress_nodal, n_steps, start=0):
+            # start: offset into the BC table — lets callers split a long
+            # window into several dispatches (the axon relay caps single
+            # executions around ~50 s) without replaying BC rows
             def body(i, s):
                 p, st, worst_rel, worst_it = s
-                bc = bc_values[i] if bc_values is not None else None
+                bc = bc_values[start + i] if bc_values is not None else None
                 p2, st2, rel, it = one_step(p, st, bc)
                 return (p2, st2, jnp.maximum(worst_rel, rel),
                         jnp.maximum(worst_it, it))
