@@ -21,12 +21,16 @@ from openifem_tpu.solvers.fluid import InsIM
 from openifem_tpu.solvers.solid import HyperElasticity
 
 
+import os
+
+
 class BenchInsIM(InsIM):
     mixed_precision_precond = True
     mp_sm_rtol = 1e-1
     f32_matrix = True
     newton_forcing = (1e-4, 0.5)
-    a_inner_rtol = 1e-1
+    a_inner_rtol = float(os.environ.get("PROF_A_RTOL", "1e-2"))
+    f32_outer = os.environ.get("PROF_F32_OUTER", "0") == "1"
 
 
 def build():

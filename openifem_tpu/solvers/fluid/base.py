@@ -41,6 +41,37 @@ class FluidSolverBase:
     # The Newton loop converges to the same fluid_tolerance either way;
     # only the (unobservable) extra digits of each linear solve differ.
     newton_forcing = None
+    # Run the outer FGMRES (Krylov basis, CGS2 orthogonalization, Givens
+    # updates) in f32.  TPU f64 is software-emulated, so the outer shell's
+    # V@w matmuls and axpys carry a large constant factor; with the
+    # Jacobian apply already f32 (f32_matrix) the f64 shell is pure
+    # overhead.  Inexact-Newton safe: the assembled f64 residual still
+    # gates Newton convergence, and the solve tolerance is clamped to the
+    # f32-achievable floor (~2e-6 relative), which Newton self-corrects —
+    # same mechanism as f32_matrix.  Combine with f32_matrix=True.
+    f32_outer = False
+    f32_outer_floor = 2e-6
+
+    def _outer_solve(self, op, b, precond, atol):
+        """Dispatch the outer FGMRES, optionally with an f32 Krylov basis
+        (f32_outer).  Returns (x_in_b_dtype, iters, residual)."""
+        import jax.numpy as jnp
+
+        from ...la.krylov import fgmres
+        if self.f32_outer:
+            atol = jnp.maximum(jnp.asarray(atol, b.dtype),
+                               self.f32_outer_floor * jnp.linalg.norm(b))
+            op32 = lambda x: op(x).astype(jnp.float32)  # noqa: E731
+            res = fgmres(op32, b.astype(jnp.float32), M=precond,
+                         atol=atol.astype(jnp.float32),
+                         restart=self.outer_restart,
+                         max_restarts=self.outer_max_restarts)
+            return (res.x.astype(b.dtype), res.iters,
+                    res.residual.astype(b.dtype))
+        res = fgmres(op, b, M=precond, atol=atol,
+                     restart=self.outer_restart,
+                     max_restarts=self.outer_max_restarts)
+        return res.x, res.iters, res.residual
 
     def _outer_atol(self, res_norm, res0, parity_atol):
         """Outer-FGMRES absolute tolerance for one Newton iteration.

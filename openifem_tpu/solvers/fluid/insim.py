@@ -553,11 +553,9 @@ class InsIM(FluidSolverBase):
 
         op = cons.wrap_operator(apply_A)
         precond = self._make_preconditioner(A_loc, ucons, pcons)
-        res = fgmres(op, b, M=precond, atol=atol,
-                     restart=self.outer_restart,
-                     max_restarts=self.outer_max_restarts)
-        du = cons.distribute(res.x)
-        return du, res_norm, res.iters, res.residual
+        x, iters, residual = self._outer_solve(op, b, precond, atol)
+        du = cons.distribute(x)
+        return du, res_norm, iters, residual
 
     # ------------------------------------------------------------------
     def make_on_device_stepper(self):

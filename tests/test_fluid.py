@@ -219,3 +219,33 @@ def test_insim_fast_flags_match_reference_path():
     fast = run(True)
     scale = max(1.0, float(np.abs(ref).max()))
     assert np.abs(fast - ref).max() < 1e-7 * scale
+
+
+def test_insim_f32_outer_matches_reference_path():
+    """f32_outer runs the whole outer FGMRES (basis, CGS2, Givens) in f32
+    with the solve tolerance clamped to the f32 floor; the f64 assembled
+    residual still gates Newton, so the converged solution matches the
+    all-f64 path to the Newton tolerance (inexact Newton, same contract
+    as f32_matrix)."""
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.03
+    p.global_refinements[0] = 3
+
+    def run(fast):
+        class F(InsIM):
+            mixed_precision_precond = fast
+            f32_matrix = fast
+            f32_outer = fast
+            mp_sm_rtol = 1e-1 if fast else 1e-6
+            newton_forcing = (1e-4, 0.5) if fast else None
+        mesh = generators.hyper_cube(0.0, 1.0, dim=2)
+        f = F(mesh, p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    fast = run(True)
+    scale = max(1.0, float(np.abs(ref).max()))
+    # both solutions satisfy ||r|| <= fluid_tolerance * ||r0||; the
+    # iterates may differ by the corresponding solution-error band
+    assert np.abs(fast - ref).max() < 5e-5 * scale
