@@ -31,6 +31,8 @@ class BenchInsIM(InsIM):
     newton_forcing = (1e-4, 0.5)
     a_inner_rtol = float(os.environ.get("PROF_A_RTOL", "1e-2"))
     f32_outer = os.environ.get("PROF_F32_OUTER", "0") == "1"
+    dense_precond = os.environ.get("PROF_DENSE", "0") == "1"
+    dense_a_bf16 = os.environ.get("PROF_DENSE_BF16", "0") == "1"
 
 
 def build():
@@ -177,8 +179,33 @@ def main():
     b = zc.condense_rhs(rhs)
     timeit("  preconditioner apply (1 vmult)", lambda: papply(A_loc, b))
 
+
+    # decompose one preconditioner apply: Mp CG / Sm CG / A-inner FGMRES
+    pb = (b / jnp.linalg.norm(b)).astype(jnp.float32)
+
+    @jax.jit
+    def stats(A_loc, v):
+        pre = fluid._make_preconditioner(A_loc, fluid.u_constraints,
+                                         fluid.p_constraints)
+        return pre.stats(v)
+
+    out, (mp_i, sm_i, a_i) = stats(A_loc, pb)
+    print(f"    inner iters: mp={int(mp_i)} sm={int(sm_i)} a={int(a_i)}",
+          flush=True)
+
+    @jax.jit
+    def papply2(A_loc, v):
+        pre = fluid._make_preconditioner(A_loc, fluid.u_constraints,
+                                         fluid.p_constraints)
+        return pre(pre(v))
+
+    t1 = timeit("  precond build+1 apply", lambda: papply(A_loc, b), n=5)
+    t2 = timeit("  precond build+2 applies", lambda: papply2(A_loc, pb), n=5)
+    print(f"    -> apply-only ~{t2 - t1:.1f} ms, build-only "
+          f"~{2 * t1 - t2:.1f} ms", flush=True)
+
     # one A-block matvec
-    from openifem_tpu.la.matvec import element_matvec_nodeblock
+    from openifem_tpu.la.operators import element_matvec_nodeblock
     d = fluid.dim
     nlu = fluid.nu_loc // d
     Auu = A_loc[:, :fluid.nu_loc, :fluid.nu_loc].astype(jnp.float32)
@@ -194,7 +221,7 @@ def main():
 
     # full-system matvec in f64
     A64 = A_loc
-    from openifem_tpu.la.matvec import element_matvec_taylor_hood
+    from openifem_tpu.la.operators import element_matvec_taylor_hood
 
     @jax.jit
     def fmv(x):

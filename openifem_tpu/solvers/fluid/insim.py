@@ -64,6 +64,14 @@ class InsIM(FluidSolverBase):
     # so the default keeps the cycles inside CG/FGMRES.
     mg_direct = False
     a_mg_cycles = 1
+    # dense condensed inner operators for the whole preconditioner
+    # (la/dense.py): the TPU-native layout below ~25k dofs per block,
+    # where element gather/scatter latency dominates a GEMV.  Exact same
+    # operators — iteration counts unchanged.  dense_a_bf16 additionally
+    # stores the (largest) A block in bfloat16: preconditioner-only, the
+    # flexible outer and f64 Newton residual are unaffected.
+    dense_precond = False
+    dense_a_bf16 = False
     # run the whole block-Schur preconditioner in float32: the outer FGMRES
     # is flexible, so an approximate (low-precision) preconditioner changes
     # only iteration counts, never the converged f64 solution.  On TPU the
@@ -443,6 +451,48 @@ class InsIM(FluidSolverBase):
         op_Mp = pcons.wrap_operator(lambda x: element_matvec(
             Mp_loc, self.cell_dofs_p, self.n_p, x))
         mp_dinv = jnp.where(Mp_diag != 0, 1.0 / Mp_diag, 1.0)
+
+        # getattr: the dof-sharded proxy (parallel/shard.py) calls this
+        # unbound with a SimpleNamespace and uses the flat matvec layout
+        if getattr(self, "dense_precond", False):
+            # Dense condensed inner operators (la/dense.py): at <~25k dofs
+            # per block the batched element matvec is gather/scatter
+            # latency-bound (~2 ms fixed on v5e) while a dense GEMV is
+            # bandwidth-bound (~0.1-1 ms).  The operators are EXACTLY the
+            # condensed matvecs (R A E + fixed identity) — iteration
+            # counts are unchanged, only the cost per iteration drops.
+            # The explicit Sm = B diag(Mu)^-1 B^T mirrors the reference's
+            # explicit mass_schur assembly (source/mpi_insim.cpp:36-50).
+            from ...la.dense import (add_unit_diag, condensed_dense, gemv,
+                                     hanging_tables)
+            cdu, cdp = self.cell_dofs_u, self.cell_dofs_p
+            # static hanging structure from the solver's own (concrete)
+            # constraints — runtime-extended variants share it
+            uht = hanging_tables(self.u_constraints)
+            pht = hanging_tables(self.p_constraints)
+            Ad = condensed_dense(Auu, cdu, cdu, self.n_u, self.n_u,
+                                 ucons, ucons, uht, uht,
+                                 unit_fixed_diag=True)
+            Bd = condensed_dense(Apu, cdp, cdu, self.n_p, self.n_u,
+                                 pcons, ucons, pht, uht)
+            Btd = condensed_dense(Aup, cdu, cdp, self.n_u, self.n_p,
+                                  ucons, pcons, uht, pht)
+            Sd = add_unit_diag(Bd @ (mu_inv[:, None] * Btd), pcons.fixed)
+            Mpd = condensed_dense(Mp_loc, cdp, cdp, self.n_p, self.n_p,
+                                  pcons, pcons, pht, pht,
+                                  unit_fixed_diag=True)
+            A_mv = Ad.astype(jnp.bfloat16) if getattr(
+                self, "dense_a_bf16", False) else Ad
+            op_A = lambda x: gemv(A_mv, x)           # noqa: E731
+            apply_BT = lambda xp: gemv(Btd, xp)      # noqa: E731
+            op_Sm = lambda xp: gemv(Sd, xp)          # noqa: E731
+            op_Mp = lambda x: gemv(Mpd, x)           # noqa: E731
+            dA = jnp.diag(Ad)
+            dinv_A = jnp.where(dA != 0, 1.0 / dA, 1.0)
+            apply_dinv_A = lambda r: r * dinv_A      # noqa: E731
+            dS = jnp.diag(Sd)
+            sm_dinv = jnp.where(dS > 0, 1.0 / jnp.where(dS > 0, dS, 1.0),
+                                1.0)
 
         from ...la.multigrid import GalerkinMG
         mg = getattr(self, "_pressure_mg", None)

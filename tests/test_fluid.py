@@ -249,3 +249,37 @@ def test_insim_f32_outer_matches_reference_path():
     # both solutions satisfy ||r|| <= fluid_tolerance * ||r0||; the
     # iterates may differ by the corresponding solution-error band
     assert np.abs(fast - ref).max() < 5e-5 * scale
+
+
+def test_insim_dense_precond_matches_reference_path():
+    """dense_precond builds the preconditioner's inner operators as exact
+    condensed dense matrices (la/dense.py) — the same linear operators the
+    element matvec path applies, so the converged solution matches.  The
+    locally refined mesh exercises hanging-node condensation (static
+    hanging tables)."""
+    p = AllParameters.from_file(f"{REF}/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.03
+    p.global_refinements[0] = 2
+
+    def run(dense, bf16=False):
+        class F(InsIM):
+            mixed_precision_precond = True
+            f32_matrix = True
+            mp_sm_rtol = 1e-1
+            dense_precond = dense
+            dense_a_bf16 = bf16
+        mesh = generators.hyper_cube(0.0, 1.0, dim=2).refine_global(2)
+        c = mesh.cell_centers()
+        mesh = mesh.refine(c[:, 1] > 0.5)
+        f = F(mesh, p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(run(True) - ref).max() < 1e-5 * scale
+    # bf16 A block: preconditioner-only, so Newton still converges — but a
+    # different Krylov trajectory stops at a different point inside the
+    # fluid_tolerance band (width ~ tol * kappa(J) * scale), so the
+    # comparison is against that band, not f32 round-off
+    assert np.abs(run(True, bf16=True) - ref).max() < 1e-3 * scale
