@@ -337,6 +337,14 @@ def bench_fsi_leaflet(n_steps=20):
         # grad_div = 1.0 makes pointwise-smoothed velocity MG spectrally
         # wrong (grad-div near-kernel), so Jacobi-FGMRES it is.
         a_inner_rtol = 1e-2
+        # f32 outer Krylov shell (TPU f64 is emulated; the Newton residual
+        # stays f64) + dense condensed preconditioner operators with the
+        # A block in bf16 — at 17k dofs the element gather/scatter latency
+        # (~2 ms/matvec) dominates a GEMV (la/dense.py).
+        # Measured on v5e: 2403 -> ~830 ms/step.
+        f32_outer = True
+        dense_precond = True
+        dense_a_bf16 = True
 
     # throughput bench: no per-step VTU writes (the reference prm's
     # output interval == dt; solver throughput is what the metric is)
@@ -421,6 +429,12 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
         mixed_precision_precond = True
         f32_matrix = True
         newton_forcing = (1e-4, 0.5)
+        # f32 outer shell + dense p-coupled blocks / explicit dense Tpp
+        # (la/dense.py): one small GEMV per Tpp matvec instead of three
+        # element gather/scatters; the inner GMRES runs on the diagonal
+        # preconditioner — no V-cycle hierarchy needed
+        f32_outer = True
+        dense_precond = True
 
     class BenchHypo(SharedHypoElasticity):
         f32_rates = True   # f64 rate einsums are emulated on TPU
@@ -446,9 +460,7 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
     fluid = BenchSCnsIM(fm, p)
     solid = BenchHypo(sm, p, dx=dx, hdx=1.3)
     fsi = MPIFSI(fluid, solid, p)
-    # geometric pressure hierarchy for the Tpp inner GMRES (the mesh is a
-    # locally refined box, so the bases nest geometrically)
-    fsi.fluid_mg_base = [base]
+    del base   # dense Tpp needs no geometric hierarchy (see BenchSCnsIM)
 
     # MPIFSI.run with a timing mark (fsi/mpi_fsi.py run loop)
     times = {"t0": time.time()}

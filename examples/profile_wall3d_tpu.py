@@ -20,10 +20,19 @@ from openifem_tpu.solvers.solid import SharedHypoElasticity
 from openifem_tpu.config import real_dtype
 
 
+import os
+
+
 class BenchSCnsIM(SCnsIM):
     mixed_precision_precond = True
     f32_matrix = True
     newton_forcing = (1e-4, 0.5)
+    f32_outer = os.environ.get("PROF_F32_OUTER", "0") == "1"
+    dense_precond = os.environ.get("PROF_DENSE", "0") == "1"
+
+
+class BenchHypo(SharedHypoElasticity):
+    f32_rates = os.environ.get("PROF_F32_RATES", "0") == "1"
 
 
 def build():
@@ -42,9 +51,10 @@ def build():
                                                [1, 1, 0.4])
     sm.vertices[:, 2] += 2.0
     fluid = BenchSCnsIM(fm, p)
-    solid = SharedHypoElasticity(sm, p, dx=dx, hdx=1.3)
+    solid = BenchHypo(sm, p, dx=dx, hdx=1.3)
     fsi = MPIFSI(fluid, solid, p)
-    fsi.fluid_mg_base = [base]
+    if os.environ.get("PROF_DENSE", "0") != "1":
+        fsi.fluid_mg_base = [base]
     return fsi, fluid, solid
 
 

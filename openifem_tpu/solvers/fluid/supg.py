@@ -53,6 +53,12 @@ class SUPGFluidSolver(FluidSolverBase):
     # f32 Jacobian apply in the outer FGMRES (inexact Newton); the f64
     # assembled residual still gates Newton convergence (see InsIM)
     f32_matrix = False
+    # dense condensed p-coupled blocks + explicit dense Tpp in the
+    # preconditioner (la/dense.py; see _make_preconditioner).  Exact same
+    # operators as the element matvec path — iteration counts unchanged,
+    # per-iteration gather/scatter latency gone.  Needs n_p * n_u * 4 B
+    # of HBM (rectangular blocks only — no dense Avv).
+    dense_precond = False
 
     def setup(self):
         # a previously attached V-cycle is built against the OLD mesh's
@@ -314,6 +320,35 @@ class SUPGFluidSolver(FluidSolverBase):
         b2pp_diag = jnp.where(pcons.fixed, 1.0, b2pp_diag)
         b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
                              1.0)
+        dense = getattr(self, "dense_precond", False)
+        if dense:
+            # Dense condensed rectangular blocks + EXPLICIT dense Tpp
+            # (la/dense.py): the SUPG preconditioner never iterates on the
+            # (large) Avv block, so dense mode only needs the p-coupled
+            # blocks — n_p x n_u — and works at much larger sizes than the
+            # InsIM dense mode.  The explicit Tpp = App - Apv Pvv^-1 Avp
+            # mirrors the reference's explicit B2pp assembly
+            # (source/mpi_supg_solver.cpp:56-133); each Tpp matvec becomes
+            # one small GEMV instead of three element gather/scatters, so
+            # the inner GMRES runs fine with just the diagonal
+            # preconditioner — no V-cycle needed.
+            from ...la.dense import condensed_dense, gemv, hanging_tables
+            cdu, cdp = self.cell_dofs_u, self.cell_dofs_p
+            uht = hanging_tables(self.u_constraints)
+            pht = hanging_tables(self.p_constraints)
+            Avp_d = condensed_dense(Avp, cdu, cdp, self.n_u, self.n_p,
+                                    ucons, pcons, uht, pht)
+            Apv_d = condensed_dense(Apv, cdp, cdu, self.n_p, self.n_u,
+                                    pcons, ucons, pht, uht)
+            App_d = condensed_dense(App, cdp, cdp, self.n_p, self.n_p,
+                                    pcons, pcons, pht, pht,
+                                    unit_fixed_diag=True)
+            apply_Avp = lambda xp: gemv(Avp_d, xp)      # noqa: E731
+            apply_Apv = lambda xu: gemv(Apv_d, xu)      # noqa: E731
+            op_App = lambda x: gemv(App_d, x)           # noqa: E731
+            Tpp_d = App_d - Apv_d @ (pvv_inv[:, None] * Avp_d)
+            Tpp = lambda xp: gemv(Tpp_d, xp)            # noqa: E731
+
         # B2pp preconditioner when a hierarchy is attached
         # (enable_pressure_mg); diagonal surrogate otherwise.  GalerkinMG
         # coarsens the TRUE cell-local B2pp blocks of THIS Newton matrix

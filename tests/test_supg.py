@@ -220,3 +220,32 @@ def test_scnsim_f32_matrix_assembly_consistent():
     scale = float(jnp.abs(A64).max())
     assert float(jnp.abs(A32.astype(jnp.float64) - A64).max()) < 1e-5 * scale
     assert float(jnp.abs(r32 - r64).max()) == 0.0
+
+def test_scnsim_dense_precond_matches_reference_path():
+    """dense_precond replaces the Tpp preconditioner's element matvecs with
+    exact condensed dense blocks and an explicit dense Tpp (la/dense.py) —
+    the same linear operators, so the converged Newton solution matches.
+    The locally refined mesh exercises hanging-node condensation."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_plane_wall_driven_mpi_insim_supg/"
+        "fluid_plane_wall_driven_mpi_insim_supg.prm")
+    p.end_time = 3 * p.time_step
+
+    def run(dense):
+        class F(SCnsIM):
+            mixed_precision_precond = True
+            f32_matrix = True
+            dense_precond = dense
+        mesh = generators.subdivided_hyper_rectangle(
+            [10, 8], [0.0, 0.0], [2.0, 0.4])
+        c = mesh.cell_centers()
+        mesh = mesh.refine(c[:, 0] < 0.5)
+        f = F(mesh, p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    scale = max(1.0, float(np.abs(ref).max()))
+    # preconditioner-only change: same operators, different round-off order
+    # -> both iterates sit inside the same Newton tolerance band
+    assert np.abs(run(True) - ref).max() < 1e-5 * scale
