@@ -547,6 +547,16 @@ def main():
         # headline goes out BEFORE the (host-heavy) FSI extras, so a
         # driver timeout cannot lose it
         print_headline(d, v)
+    if only == "r4mg":
+        # explicit-only experiment: velocity GalerkinMG on the A block at
+        # refine=4 (VERDICT #4 — mesh-independent A-solve; reference is a
+        # MUMPS direct solve, source/mpi_insim.cpp:122-127).  Telemetry on
+        # so a_fgmres is recorded.
+        d, v = bench_cylinder(4, timed=3, velocity_mg=True,
+                              host_first_step=False)
+        d["case"] = "fluid_cylinder_r4_velmg"
+        record(d)
+        print_headline(d, v)
     if want("scnsim"):
         d, _ = bench_scnsim_r3()
         record(d)
