@@ -579,7 +579,7 @@ def main():
         # MUMPS direct solve, source/mpi_insim.cpp:122-127).  Telemetry on
         # so a_fgmres is recorded.
         d, v = bench_cylinder(4, timed=3, velocity_mg=True,
-                              host_first_step=False)
+                              host_first_step=False, f32_outer_shell=True)
         d["case"] = "fluid_cylinder_r4_velmg"
         record(d)
         print_headline(d, v)
