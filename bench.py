@@ -142,7 +142,8 @@ def _cylinder_bc(points, component):
     return out
 
 
-def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False):
+def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False,
+                 mg_direct_=False):
     import jax.numpy as jnp  # noqa: F401
     from openifem_tpu.solvers.fluid import InsIM
 
@@ -152,6 +153,11 @@ def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False):
         f32_matrix = True
         a_inner_rtol = 1e-2   # flexible outer absorbs it (measured winner)
         f32_outer = f32_outer_shell   # f64 FGMRES shell is EMULATED on TPU
+        # one V-cycle directly as the (inexact) inner inverse instead of a
+        # V-cycle-preconditioned inner Krylov solve; the FLEXIBLE outer
+        # absorbs the inexactness (Washio-Tpp does the same with one ILU
+        # sweep, source/mpi_supg_solver.cpp:56-133)
+        mg_direct = mg_direct_
 
     import os
     if os.environ.get("BENCH_NEWTON_FORCING"):
@@ -170,7 +176,8 @@ def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False):
 
 
 def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
-                   host_first_step=True, f32_outer_shell=False):
+                   host_first_step=True, f32_outer_shell=False,
+                   mg_direct=False):
     """DoF-steps/s of the fully on-device stepper at a refinement level."""
     import jax.numpy as jnp
     from openifem_tpu.mesh import generators
@@ -181,7 +188,7 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
     meshes = [generators.flow_around_cylinder(2)]
     for _ in range(refine):
         meshes.append(meshes[-1].refine_global(1))
-    s = _make_solver(meshes, p, velocity_mg, f32_outer_shell)
+    s = _make_solver(meshes, p, velocity_mg, f32_outer_shell, mg_direct)
     setup_s = time.time() - t0
 
     t0 = time.time()
@@ -237,6 +244,7 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
         "pressure_mg": refine > 0,
         "velocity_mg": velocity_mg,
         "f32_outer": f32_outer_shell,
+        "mg_direct": mg_direct,
     }
     if telemetry:
         # iteration telemetry on the stepped state (parity artifact: the
@@ -654,13 +662,15 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
         sol, sol, s.indicator, s.fsi_acc_nodal, s.fsi_stress_nodal,
         stress, eddy, s.zero_constraints, s.u_constraints,
         s.p_constraints)
-    out["outer_fgmres_iters"] = int(outer_iters)
-    out["tpp_gmres_iters_per_precond_apply"] = int(tpp_i)
+    outer_iters = int(outer_iters)
+    tpp_i = int(tpp_i)
+    out["outer_fgmres_iters"] = outer_iters
+    out["tpp_gmres_iters_per_precond_apply"] = tpp_i
     # dense-Tpp roofline: outer element matvec (3D Q1Q1: 8 nodes x 4
     # dofs = 32/cell, f32) + per apply: tpp_i GEMVs on the explicit
     # n_p^2 Tpp + 2 coupling GEMVs (n_u x n_p), all f32 (la/dense.py)
-    napp = out["fluid_newton_iters_last_step"] * out["outer_fgmres_iters"]
-    nc, n_u, n_p = s.mesh.n_cells, s.n_u, s.n_p
+    napp = out["fluid_newton_iters_last_step"] * outer_iters
+    nc, n_u, n_p = int(s.mesh.n_cells), int(s.n_u), int(s.n_p)
     f_full = napp * 2.0 * nc * 32 * 32
     b_full = napp * (nc * 32 * 32 * 4 + 2.0 * nc * 32 * 8)
     f_t, b_t = _gemv_cost(n_p, n_p, 4)
@@ -705,21 +715,42 @@ def main():
     def want(name):
         return only is None or only == name
 
+    def json_safe(v):
+        """Cast stray numpy/JAX scalars to plain Python (a non-castable
+        value must not corrupt the details file mid-write)."""
+        if isinstance(v, dict):
+            return {k: json_safe(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [json_safe(x) for x in v]
+        if isinstance(v, (str, bool, int, float)) or v is None:
+            return v
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except Exception:
+                pass
+        return repr(v)
+
     def record(d):
-        """Stream each case as it completes: stderr detail line + details
-        file rewrite, so a timeout-killed run still leaves a record."""
+        """Stream each case as it completes: stderr detail line + an
+        ATOMIC details-file rewrite (tmp + rename: a crash mid-dump must
+        not truncate the record), so a timeout-killed run still leaves
+        every completed case."""
         d["vs_ref_refine1_dof_throughput"] = round(
             d["mdof_steps_per_s"] / ref, 3)
         if d["case"].startswith("fsi"):
             d["vs_ref_fsi_cavity_header"] = round(
                 d["mdof_steps_per_s"] / ref_fsi_cavity, 3)
+        d = json_safe(d)
         details[:] = [c for c in details if c.get("case") != d["case"]]
         details.append(d)
-        with open(details_path, "w") as f:
+        tmp = details_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"baseline_mdof_steps_per_s": round(ref, 6),
                        "fsi_cavity_header_mdof_steps_per_s":
                            round(ref_fsi_cavity, 6),
                        "cases": details}, f, indent=1)
+        os.replace(tmp, details_path)
         print(json.dumps(d), file=sys.stderr, flush=True)
 
     def headline(d, v):
@@ -734,35 +765,40 @@ def main():
             "vs_baseline": round(v / ref, 3),
         }), flush=True)
 
+    def run_case(name, fn, is_headline=False):
+        """One bench case; a failure (convergence assert, OOM, relay
+        fault) must not abort the remaining cases."""
+        if not want(name):
+            return
+        try:
+            d, v = fn()
+        except Exception as e:   # noqa: BLE001
+            print(json.dumps({"case_failed": name, "error": repr(e)[:300]}),
+                  file=sys.stderr, flush=True)
+            return
+        record(d)
+        if is_headline:
+            headline(d, v)
+
     # ---- north stars FIRST (VERDICT r3 #1): the driver timeout must
     # never again eat the leaflet/wall3d record ----
-    if want("leaflet"):
-        d, v = bench_fsi_leaflet(n_steps=10)
-        record(d)
-        headline(d, v)
-    if want("wall3d"):
-        d, v = bench_fsi_wall_3d()
-        record(d)
-        headline(d, v)
-    if want("leaflet_r2"):
-        d, v = bench_fsi_leaflet(n_steps=5, extra_refine=1)
-        record(d)
-        headline(d, v)
+    run_case("leaflet", lambda: bench_fsi_leaflet(n_steps=10),
+             is_headline=True)
+    run_case("wall3d", bench_fsi_wall_3d, is_headline=True)
+    run_case("leaflet_r2",
+             lambda: bench_fsi_leaflet(n_steps=5, extra_refine=1),
+             is_headline=True)
     # ---- the >=1e5-DoF fluid case ----
-    if want("r4"):
-        d, v = bench_cylinder(4, timed=3, host_first_step=False,
-                              f32_outer_shell=True)
-        record(d)
-        headline(d, v)
+    run_case("r4", lambda: bench_cylinder(4, timed=3,
+                                          host_first_step=False,
+                                          f32_outer_shell=True),
+             is_headline=True)
     # ---- smaller cylinder sizes + extras ----
-    if want("r3"):
-        # f32 outer-FGMRES shell (measured: 2243 -> 1804 ms/step on v5e;
-        # Newton still gates on the f64 residual, 3 iters/step unchanged)
-        d, _ = bench_cylinder(3, timed=5, f32_outer_shell=True)
-        record(d)
-    if want("r1"):
-        d, _ = bench_cylinder(1, timed=10)
-        record(d)
+    # r3: f32 outer-FGMRES shell (measured: 2243 -> 1804 ms/step on v5e;
+    # Newton still gates on the f64 residual, 3 iters/step unchanged)
+    run_case("r3", lambda: bench_cylinder(3, timed=5,
+                                          f32_outer_shell=True))
+    run_case("r1", lambda: bench_cylinder(1, timed=10))
     if only == "r3f64":
         # f64-outer control for the r3 A/B (the default is f32_outer;
         # keep the all-f64 shell reproducible — ADVICE r3)
@@ -784,12 +820,26 @@ def main():
         d["case"] += "_velmg"
         record(d)
         headline(d, v)
-    if want("scnsim"):
-        d, _ = bench_scnsim_r3()
+    if only == "r4sm":
+        # experiment: ONE pressure V-cycle as the direct Sm^-1 (no inner
+        # Sm-CG) — r4 telemetry shows 41 Sm-CG iters each wrapping a
+        # V-cycle, the dominant latency chain
+        d, v = bench_cylinder(4, timed=3, host_first_step=False,
+                              f32_outer_shell=True, mg_direct=True)
+        d["case"] += "_smdirect"
         record(d)
-    if want("scnsex"):
-        d, _ = bench_scnsex_duct()
+        headline(d, v)
+    if only == "r4all":
+        # experiment: mg_direct for BOTH blocks (velocity GalerkinMG
+        # cycles as the A-solve + one pressure V-cycle as Sm^-1)
+        d, v = bench_cylinder(4, timed=3, velocity_mg=True,
+                              host_first_step=False, f32_outer_shell=True,
+                              mg_direct=True)
+        d["case"] += "_mgall"
         record(d)
+        headline(d, v)
+    run_case("scnsim", bench_scnsim_r3)
+    run_case("scnsex", bench_scnsex_duct)
 
     if best[0] is None and details:   # partial run: last case
         d = details[-1]
