@@ -143,7 +143,7 @@ def _cylinder_bc(points, component):
 
 
 def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False,
-                 mg_direct_=False):
+                 mg_direct_=False, a_mg_precond_=False):
     import jax.numpy as jnp  # noqa: F401
     from openifem_tpu.solvers.fluid import InsIM
 
@@ -158,12 +158,18 @@ def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False,
         # absorbs the inexactness (Washio-Tpp does the same with one ILU
         # sweep, source/mpi_supg_solver.cpp:56-133)
         mg_direct = mg_direct_
+        a_mg_precond = a_mg_precond_
 
     import os
     if os.environ.get("BENCH_NEWTON_FORCING"):
         # inexact-Newton forcing experiment (see the FSI bench classes):
         # linear solves only to what the Newton target can observe
         BenchInsIM.newton_forcing = (1e-4, 0.5)
+    if os.environ.get("BENCH_A_RTOL"):
+        # inner A-solve tolerance experiment (the flexible outer absorbs
+        # a looser inner solve; with mg_direct the Sm apply is cheap, so
+        # extra outer iterations cost less than they used to)
+        BenchInsIM.a_inner_rtol = float(os.environ["BENCH_A_RTOL"])
 
     s = BenchInsIM(meshes[-1], p, bc=_cylinder_bc)
     s.setup()
@@ -177,7 +183,7 @@ def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False,
 
 def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
                    host_first_step=True, f32_outer_shell=False,
-                   mg_direct=False):
+                   mg_direct=False, a_mg_precond=False):
     """DoF-steps/s of the fully on-device stepper at a refinement level."""
     import jax.numpy as jnp
     from openifem_tpu.mesh import generators
@@ -188,7 +194,8 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
     meshes = [generators.flow_around_cylinder(2)]
     for _ in range(refine):
         meshes.append(meshes[-1].refine_global(1))
-    s = _make_solver(meshes, p, velocity_mg, f32_outer_shell, mg_direct)
+    s = _make_solver(meshes, p, velocity_mg, f32_outer_shell, mg_direct,
+                     a_mg_precond)
     setup_s = time.time() - t0
 
     t0 = time.time()
@@ -229,9 +236,12 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
     out = {
         # the env hook alters EVERY cylinder case, so every branch gets
         # the suffix and the flag is always recorded (ADVICE r3)
-        "case": f"fluid_cylinder_r{refine}" + ("_forcing" if forcing
-                                               else ""),
+        "case": (f"fluid_cylinder_r{refine}"
+                 + ("_forcing" if forcing else "")
+                 + (f"_artol{os.environ['BENCH_A_RTOL']}"
+                    if os.environ.get("BENCH_A_RTOL") else "")),
         "newton_forcing": forcing,
+        "a_inner_rtol": float(os.environ.get("BENCH_A_RTOL", 1e-2)),
         "n_dofs": int(s.n_dofs),
         "n_cells": int(meshes[-1].n_cells),
         "timed_steps": timed,
@@ -789,9 +799,13 @@ def main():
              lambda: bench_fsi_leaflet(n_steps=5, extra_refine=1),
              is_headline=True)
     # ---- the >=1e5-DoF fluid case ----
+    # mg_direct: one pressure V-cycle as Sm^-1 under the flexible outer
+    # (measured r4: 14671 -> 11485 ms/step = 12.4x; the V-cycle-inside-
+    # Sm-CG chain was the dominant latency, 41 iters/apply)
     run_case("r4", lambda: bench_cylinder(4, timed=3,
                                           host_first_step=False,
-                                          f32_outer_shell=True),
+                                          f32_outer_shell=True,
+                                          mg_direct=True),
              is_headline=True)
     # ---- smaller cylinder sizes + extras ----
     # r3: f32 outer-FGMRES shell (measured: 2243 -> 1804 ms/step on v5e;
@@ -815,8 +829,14 @@ def main():
         # refine=4 (VERDICT #4 — mesh-independent A-solve; reference is a
         # MUMPS direct solve, source/mpi_insim.cpp:122-127).  Telemetry on
         # so a_fgmres is recorded.
+        # on top of the winning Sm-direct config, so the A-block question
+        # is isolated; with velocity_mg + mg_direct the A-solve would be
+        # raw cycles (recorded separately as r4all: outer exploded to 146
+        # — grad-div near-kernel), so keep the A solve as MG-PRECONDITIONED
+        # inner FGMRES here via a_mg_precond
         d, v = bench_cylinder(4, timed=3, velocity_mg=True,
-                              host_first_step=False, f32_outer_shell=True)
+                              host_first_step=False, f32_outer_shell=True,
+                              mg_direct=True, a_mg_precond=True)
         d["case"] += "_velmg"
         record(d)
         headline(d, v)

@@ -18,14 +18,32 @@ from ..mesh.mesh import FACE_VERTICES, Mesh
 from .shapes import QkShapes
 
 
+def _lagrange_1d_uniform(k: int):
+    """lag(i, x): the i-th 1D Lagrange basis on uniform nodes {j/k},
+    evaluated at x — degree-generic (hanging-node interpolation weights
+    for any Q_k)."""
+    nodes = np.arange(k + 1) / k if k > 0 else np.zeros(1)
+
+    def lag(i: int, x: float) -> float:
+        w = 1.0
+        for j in range(k + 1):
+            if j != i:
+                w *= (x - nodes[j]) / (nodes[i] - nodes[j])
+        return w
+
+    return lag
+
+
 class FESpace:
     """Scalar continuous Q_k space, degree-generic (the reference's FE
     degree is a free parameter, include/parameters.h FluidFESystem /
     SolidFESystem).  k > 2 uses canonically oriented shared-entity
     numbering (edge: min->max vertex id; face: min-id corner origin,
-    s-axis toward its smaller-id neighbor) and requires a conforming
-    mesh (hanging-node constraints are implemented for k <= 2 only,
-    matching every shipped reference test)."""
+    s-axis toward its smaller-id neighbor).  Hanging-node constraints on
+    1-irregular meshes are degree-generic too: fine nodes on a
+    nonconforming coarse edge/face interpolate the coarse entity's own
+    nodes with uniform-node Lagrange weights (deal.II:
+    DoFTools::make_hanging_node_constraints)."""
 
     def __init__(self, mesh: Mesh, degree: int):
         assert degree >= 1
@@ -234,62 +252,65 @@ class FESpace:
         self.hanging: List[Tuple[int, List[int], List[float]]] = []
         if mesh.level.max() == mesh.level.min():
             return  # conforming
-        if k > 2:
-            raise NotImplementedError(
-                "hanging-node constraints are implemented for Q1/Q2 only "
-                "(every shipped reference test uses degree <= 2); use a "
-                "conforming mesh with higher-order spaces")
         if mesh.dim == 3:
             self._build_hanging_constraints_3d()
             return
 
-        # position lookup for mesh vertices
+        # Degree-generic 2D (VERDICT r3 #8, the 1D analog of the 3D face
+        # interpolation below): every fine node on the fine side of a
+        # nonconforming coarse EDGE is constrained by the coarse edge's
+        # own k+1 nodes with 1D uniform-node Lagrange weights at the fine
+        # node's parameter along the edge.
         vkey = {tuple(np.round(p, 12)): i
                 for i, p in enumerate(mesh.vertices)}
         fm = mesh._face_map()
-        edge_node = {}
-        if k == 2:
-            # reconstruct the edge-node table: (a, b) -> node id
-            for c in range(mesh.n_cells):
-                v = mesh.cells[c]
-                pairs_2d = [(0, 1), (2, 3), (0, 2), (1, 3)]
-                # local Q2 indices of edge nodes: bottom=1, top=7, left=3,
-                # right=5 (lexicographic 3x3)
-                loc = {(0, 1): 1, (2, 3): 7, (0, 2): 3, (1, 3): 5}
-                for pr in pairs_2d:
-                    a, b = int(v[pr[0]]), int(v[pr[1]])
-                    edge_node[(min(a, b), max(a, b))] = int(
-                        self.cell_dofs[c, loc[pr]])
-
-        for key, lst in fm.items():
-            if len(lst) != 1:
-                continue
-            c, f = lst[0]
-            if mesh.boundary_id[c, f] >= 0:
-                continue
+        single = [(c, f) for key, lst in fm.items() if len(lst) == 1
+                  for c, f in lst if mesh.boundary_id[c, f] < 0]
+        lag = _lagrange_1d_uniform(k)
+        done = set()
+        for c, f in single:
             a, b = [int(mesh.cells[c, v]) for v in FACE_VERTICES[2][f]]
-            pm = tuple(np.round(0.5 * (mesh.vertices[a] + mesh.vertices[b]),
-                                12))
+            pa, pb = mesh.vertices[a], mesh.vertices[b]
+            pm = tuple(np.round(0.5 * (pa + pb), 12))
             if pm not in vkey:
-                continue  # not actually hanging (e.g. outer face of hole)
-            m = vkey[pm]
-            if k == 1:
-                self.hanging.append((m, [a, b], [0.5, 0.5]))
-            else:
-                M = edge_node[(min(a, b), max(a, b))]
-                # fine vertex at the coarse edge midpoint
-                self.hanging.append((m, [M], [1.0]))
-                # fine edge nodes at t=1/4 and 3/4 along the coarse edge
-                for (lo, t) in (((a, m), 0.25), ((m, b), 0.75)):
-                    kk = (min(lo), max(lo))
-                    if kk not in edge_node:
+                continue  # not the coarse side (or not actually hanging)
+            masters = [int(self.cell_dofs[c, l])
+                       for l in self.face_local_nodes[f]]
+            ab = pb - pa
+            L2 = float(ab @ ab)
+            # master lattice positions along a->b (exact integers 0..k)
+            mt = [int(round(float((self.node_points[m] - pa) @ ab) / L2
+                            * k)) for m in masters]
+            tol = 1e-9 * np.sqrt(L2)
+            for c2, f2 in single:
+                if (c2, f2) == (c, f):
+                    continue
+                va, vb = [int(mesh.cells[c2, v])
+                          for v in FACE_VERTICES[2][f2]]
+                # both endpoints of the candidate fine edge on [pa, pb]
+                ok = True
+                for v in (va, vb):
+                    pv = mesh.vertices[v]
+                    t = float((pv - pa) @ ab) / L2
+                    if t < -1e-12 or t > 1 + 1e-12 or \
+                            np.linalg.norm(pa + t * ab - pv) > tol:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                for l in self.face_local_nodes[f2]:
+                    slave = int(self.cell_dofs[c2, l])
+                    if slave in masters or slave in done:
                         continue
-                    fine = edge_node[kk]
-                    # quadratic Lagrange on {0, 1/2, 1} evaluated at t
-                    wa = 2 * (t - 0.5) * (t - 1.0)
-                    wm = 4 * t * (1.0 - t)
-                    wb = 2 * t * (t - 0.5)
-                    self.hanging.append((fine, [a, M, b], [wa, wm, wb]))
+                    t = float((self.node_points[slave] - pa) @ ab) / L2
+                    ms, ws = [], []
+                    for mi, it_ in zip(masters, mt):
+                        w = lag(it_, t)
+                        if abs(w) > 1e-12:
+                            ms.append(mi)
+                            ws.append(float(w))
+                    done.add(slave)
+                    self.hanging.append((slave, ms, ws))
 
     def _build_hanging_constraints_3d(self):
         """3D hanging-node constraints by face interpolation: every fine
@@ -334,15 +355,7 @@ class FESpace:
             X = (1-s)*(1-t)*A + s*(1-t)*B + (1-s)*t*C + s*t*D
             return st, float(np.linalg.norm(X - p))
 
-        def lag1d(i, x):
-            if k == 1:
-                return 1.0 - x if i == 0 else x
-            # quadratic on {0, 1/2, 1}
-            if i == 0:
-                return 2 * (x - 0.5) * (x - 1.0)
-            if i == 1:
-                return 4 * x * (1.0 - x)
-            return 2 * x * (x - 0.5)
+        lag1d = _lagrange_1d_uniform(k)   # degree-generic weights
 
         done = set()
         for key, c, f in single:

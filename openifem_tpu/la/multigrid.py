@@ -240,8 +240,10 @@ class MGLevel:
         r = b if x_is_zero else b - self.matvec(x)
         z = self.dinv * r
         d = z / theta
-        for _ in range(degree):
+        for j in range(degree):
             x = x + d
+            if j == degree - 1:
+                break   # the final residual/direction would be dead work
             r = b - self.matvec(x)
             z = self.dinv * r
             rho_new = 1.0 / (2.0 * sigma - rho)
@@ -788,8 +790,10 @@ class GalerkinMG:
             r = b if x_is_zero else b - mv(x)
             z = dinv * r
             d_vec = z / theta
-            for _ in range(n_smooth):
+            for j in range(n_smooth):
                 x = x + d_vec
+                if j == n_smooth - 1:
+                    break   # final residual/direction would be dead work
                 r = b - mv(x)
                 z = dinv * r
                 rho_new = 1.0 / (2.0 * sigma - rho)

@@ -64,6 +64,10 @@ class InsIM(FluidSolverBase):
     # so the default keeps the cycles inside CG/FGMRES.
     mg_direct = False
     a_mg_cycles = 1
+    # with mg_direct + velocity MG: keep the A block as an MG-
+    # PRECONDITIONED inner FGMRES instead of raw cycles (raw cycles
+    # diverge on grad_div-dominated operators — grad-div near-kernel)
+    a_mg_precond = False
     # dense condensed inner operators for the whole preconditioner
     # (la/dense.py): the TPU-native layout below ~25k dofs per block,
     # where element gather/scatter latency dominates a GEMV.  Exact same
@@ -545,7 +549,8 @@ class InsIM(FluidSolverBase):
                 sm_x, sm_it = r.x, r.iters
             dst_p = sm_x * (-rho / dt) + tmp
             utmp = vu - apply_BT(dst_p)
-            if vmg is not None and self.mg_direct:
+            if vmg is not None and self.mg_direct and \
+                    not self.a_mg_precond:
                 # a_mg_cycles V-cycles of the frozen symmetric velocity
                 # operator replace the inner FGMRES A-solve (reference:
                 # one exact MUMPS solve, source/mpi_insim.cpp:122-127)

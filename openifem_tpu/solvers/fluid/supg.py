@@ -451,7 +451,7 @@ class SUPGFluidSolver(FluidSolverBase):
         self._make_constraints()
         return jnp.asarray(np.stack(vals), dtype=real_dtype())
 
-    def make_on_device_stepper(self, bc_values=None):
+    def make_on_device_stepper(self, bc_values=None, turbulence=None):
         """Fully on-device SUPG time stepping: lax.fori_loop over steps
         with the Newton loop as a lax.while_loop and the nodal-stress
         update fused per step — zero host round-trips per step (see
@@ -461,7 +461,15 @@ class SUPGFluidSolver(FluidSolverBase):
         for time-dependent hard-coded BCs (the reference run loop
         reapplies nonzero constraints every step); None = zero-increment
         stepping (BCs already in the state).  Returns fn(present, stress,
-        n_steps) -> (present, stress, max_rel_res, max_newton_iters)."""
+        n_steps) -> (present, stress, max_rel_res, max_newton_iters).
+
+        turbulence: optional SpalartAllmaras model (standalone runs):
+        its device step runs BEFORE each fluid step on the previous
+        fluid solution — the reference alternation
+        (source/mpi_supg_solver.cpp:458-468) fused into one dispatch.
+        The returned fn then has signature fn(present, stress, nu,
+        n_steps, start) -> (present, stress, nu, max_rel_res,
+        max_newton_iters, max_sa_rel_res)."""
         import jax.lax as lax
         params = self.params
         cons = self.zero_constraints
@@ -473,21 +481,24 @@ class SUPGFluidSolver(FluidSolverBase):
         if eddy0 is None:
             eddy0 = jnp.zeros(self.u_space.n_nodes, dtype=real_dtype())
         nz = self.nonzero_constraints
+        sa_step = turbulence.make_device_step() if turbulence is not None \
+            else None
 
-        def newton_once(eval_pt, present, stress_nodal, res0=None):
+        def newton_once(eval_pt, present, stress_nodal, res0=None,
+                        eddy=eddy0):
             du, rn, its, _ = self._newton_iter_impl(
                 eval_pt, present, self.indicator, self.fsi_acc_nodal,
-                self.fsi_stress_nodal, stress_nodal, eddy0, cons, ucons,
+                self.fsi_stress_nodal, stress_nodal, eddy, cons, ucons,
                 pcons, res0=res0)
             return eval_pt + du, rn, its
 
-        def one_step(present, stress_nodal, bc_delta):
+        def one_step(present, stress_nodal, bc_delta, eddy=eddy0):
             if bc_delta is not None:
                 eval_pt = nz.apply_increment_with(present, bc_delta)
             else:
                 eval_pt = present
             eval_pt, res0, its0 = newton_once(eval_pt, present,
-                                              stress_nodal)
+                                              stress_nodal, eddy=eddy)
             inf = jnp.asarray(jnp.inf, dtype=res0.dtype)
 
             def stagnated(res, prev, last_its):
@@ -504,7 +515,8 @@ class SUPGFluidSolver(FluidSolverBase):
 
             def body(s):
                 e, it, res, prev, last_its = s
-                e2, rn, its = newton_once(e, present, stress_nodal, res0)
+                e2, rn, its = newton_once(e, present, stress_nodal, res0,
+                                          eddy=eddy)
                 return (e2, it + 1, rn, res, its)
 
             eval_pt, it, res, prev, last_its = lax.while_loop(
@@ -513,6 +525,29 @@ class SUPGFluidSolver(FluidSolverBase):
                             res / jnp.maximum(res0, 1e-300), 0.0)
             rel = jnp.where(stagnated(res, prev, last_its), 0.0, rel)
             return eval_pt, self._update_stress_impl(eval_pt), rel, it
+
+        if sa_step is not None:
+            @jax.jit
+            def run_n_sa(present, stress_nodal, nu, n_steps, start=0):
+                def body(i, s):
+                    p, st, nu_, worst_rel, worst_it, worst_sa = s
+                    bc = bc_values[start + i] if bc_values is not None \
+                        else None
+                    # nonzero SA constraints are ADDITIVE increments:
+                    # apply exactly once, at the very first step (the
+                    # host loop's run_one_step(True) then (False))
+                    nu2, eddy, sa_rel, _ = sa_step(nu_, p,
+                                                   (start + i) == 0)
+                    p2, st2, rel, it = one_step(p, st, bc, eddy)
+                    return (p2, st2, nu2, jnp.maximum(worst_rel, rel),
+                            jnp.maximum(worst_it, it),
+                            jnp.maximum(worst_sa, sa_rel))
+
+                z = jnp.zeros((), present.dtype)
+                return lax.fori_loop(0, n_steps, body,
+                                     (present, stress_nodal, nu, z, 0, z))
+
+            return run_n_sa
 
         @jax.jit
         def run_n(present, stress_nodal, n_steps, start=0):
@@ -590,17 +625,25 @@ class SUPGFluidSolver(FluidSolverBase):
         (tests/test_supg.py::test_supg_on_device_stepper_matches_host).
         The production/benchmark path for standalone SUPG runs.
 
-        Falls back to run() when a turbulence model is attached: the
-        stepper freezes eddy_viscosity_nodal at build time, while run()
-        steps the model every fluid step.  Per-step VTU/PVD/checkpoint
-        writes are also skipped here (only the final state lands on the
-        host); chunk the dispatch at save intervals if those artifacts
-        are needed."""
-        if getattr(self, "turbulence_model", None) is not None:
-            return self.run(verbose=verbose)
+        A standalone Spalart-Allmaras model is FUSED into the dispatch
+        (make_on_device_stepper(turbulence=...)): the SA Newton solve
+        steps before each fluid step on the previous fluid solution,
+        exactly the reference alternation.  Only the FSI wall-function
+        mode (per-step moving-wall distances + Dirichlet row updates,
+        driven by MPIFSI.run) falls back to run().  Per-step
+        VTU/PVD/checkpoint writes are also skipped here (only the final
+        state lands on the host); chunk the dispatch at save intervals
+        if those artifacts are needed."""
         if not self._setup_done:
             self._refine_setup_with_mg()
             self._setup_done = True
+        tm = getattr(self, "turbulence_model", None)
+        if tm is not None and not hasattr(tm, "space"):
+            tm.setup()
+        if tm is not None and (tm._step_zero is not None or
+                               tm._step_nonzero is not None):
+            # FSI wall-function mode: host loop (per-step host updates)
+            return self.run(verbose=verbose)
         dt = self.time.get_delta_t()
         n = int(round((self.time.end() - self.time.current()) / dt))
         if n <= 0:
@@ -612,9 +655,18 @@ class SUPGFluidSolver(FluidSolverBase):
             # only, zero increments afterwards
             table = jnp.zeros((n, self.n_dofs), dtype=real_dtype()).at[
                 0].set(self.nonzero_constraints.dirichlet_values)
-        stepper = self.make_on_device_stepper(table)
-        sol, stress, rel, its = stepper(self.present_solution,
-                                        self.stress_device, n)
+        stepper = self.make_on_device_stepper(table, turbulence=tm)
+        if tm is not None:
+            sol, stress, nu, rel, its, sa_rel = stepper(
+                self.present_solution, self.stress_device,
+                tm.present_solution, n)
+            if float(sa_rel) > self.params.fluid_tolerance:
+                raise RuntimeError("Too many Newton iterations!")
+            tm.present_solution = nu
+            tm.update_eddy_viscosity()
+        else:
+            sol, stress, rel, its = stepper(self.present_solution,
+                                            self.stress_device, n)
         if float(rel) > self.params.fluid_tolerance:
             raise RuntimeError("Too many Newton iterations!")
         self.present_solution = sol

@@ -294,6 +294,57 @@ class SpalartAllmaras:
         self.present_solution = eval_pt
         self.update_eddy_viscosity()
 
+    def make_device_step(self):
+        """One SA time step (Newton lax.while_loop + eddy-viscosity
+        update) as a pure jittable function for STANDALONE runs (static
+        wall distances, constraints and indicator; the FSI wall-function
+        path keeps the host loop — moving-wall distances update per step
+        there).  Returns fn(nu_present, fluid_solution, apply_nonzero) ->
+        (nu_new, eddy_nodal, rel_res, newton_iters).  apply_nonzero (a
+        traced bool is fine) adds the nonzero-constraint inhomogeneity to
+        the evaluation point — deal.II INCREMENT semantics, so it must be
+        True exactly once (the first step of a run), matching
+        run_one_step(True) then run_one_step(False) afterwards."""
+        import jax.lax as lax
+        params = self.params
+        cons = self.zero_constraints
+        nz = self.nonzero_constraints
+        wall_d = jnp.minimum(self.fixed_wall_distance,
+                             self.moving_wall_distance)
+        indicator = self.fluid.indicator
+        tol = params.fluid_tolerance
+        max_it = params.fluid_max_iterations
+        lam_nu = params.viscosity / params.fluid_rho
+
+        def step(nu, fluid_sol, apply_nonzero):
+            def newton_once(e):
+                du, rn, _ = self._newton_iter_impl(
+                    e, nu, fluid_sol, wall_d, indicator, cons)
+                return e + du, rn
+
+            eval_pt, res0 = newton_once(
+                jnp.where(apply_nonzero, nz.apply_increment(nu), nu))
+
+            def cond(s):
+                e, it, res = s
+                return ((res / jnp.maximum(res0, 1e-300) > tol) &
+                        (res > 1e-14) & (it < max_it))
+
+            def body(s):
+                e, it, res = s
+                e2, rn = newton_once(e)
+                return (e2, it + 1, rn)
+
+            eval_pt, it, res = lax.while_loop(cond, body,
+                                              (eval_pt, 1, res0))
+            chi = eval_pt / lam_nu
+            fv1 = chi ** 3 / (chi ** 3 + CV1 ** 3)
+            eddy = fv1 * eval_pt * params.fluid_rho
+            return (eval_pt, eddy,
+                    res / jnp.maximum(res0, 1e-300), it)
+
+        return step
+
     def update_eddy_viscosity(self):
         """mu_t = rho f_v1 nu~
         (reference: source/mpi_spalart_allmaras.cpp:891-914)."""

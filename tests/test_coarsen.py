@@ -102,7 +102,8 @@ def test_coarsen_next_to_coarser_neighbor():
 
 def test_hanging_nodes_3d():
     """3D hanging-node constraints reproduce polynomial fields exactly
-    (linear for Q1, quadratic for Q2) across a 1-irregular interface."""
+    (linear for Q1, quadratic for Q2, cubic for Q3 — the constraints are
+    degree-generic) across a 1-irregular interface."""
     from openifem_tpu.fe.space import FESpace
 
     m0 = generators.subdivided_hyper_rectangle(
@@ -111,16 +112,20 @@ def test_hanging_nodes_3d():
     flags[0] = True
     mesh = m0.refine(flags)
 
-    for degree in (1, 2):
+    for degree in (1, 2, 3):
         sp = FESpace(mesh, degree)
         assert len(sp.hanging) > 0
         x = sp.node_points
         if degree == 1:
             f = 1.0 + 2 * x[:, 0] - 3 * x[:, 1] + 0.5 * x[:, 2]
-        else:
+        elif degree == 2:
             f = (1.0 + 2 * x[:, 0] - 3 * x[:, 1] + 0.5 * x[:, 2]
                  + x[:, 0] * x[:, 1] - 2 * x[:, 1] * x[:, 2]
                  + 0.7 * x[:, 0] ** 2 - 1.3 * x[:, 2] ** 2)
+        else:
+            f = (x[:, 0] ** 3 - 2 * x[:, 1] ** 3 + x[:, 2] ** 3
+                 + x[:, 0] ** 2 * x[:, 1] - x[:, 1] * x[:, 2] ** 2
+                 + 0.5 * x[:, 0] * x[:, 1] * x[:, 2] - x[:, 0] + 0.3)
         for slave, masters, w in sp.hanging:
             val = sum(wi * f[mi] for mi, wi in zip(masters, w))
             assert abs(val - f[slave]) < 1e-10, (slave, val, f[slave])

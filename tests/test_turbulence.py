@@ -200,6 +200,35 @@ def test_sa_fsi_wall_function_smoke():
     assert sa._accum_mask.any()
 
 
+def test_sa_fused_device_stepper_matches_host():
+    """run_on_device fuses a standalone SA model into the single-dispatch
+    time loop (SA Newton before each fluid step on the previous fluid
+    solution, the reference alternation source/mpi_supg_solver.cpp:458-468
+    as one lax.fori_loop); results match the host run() loop."""
+    p, mesh = _channel_setup()
+    p.end_time = 3 * p.time_step
+    f_host = SCnsIM(mesh, p)
+    sa_host = make_turbulence_model("Spalart-Allmaras", f_host)
+    f_host.run(verbose=False)
+
+    p2, mesh2 = _channel_setup()
+    p2.end_time = 3 * p2.time_step
+    f_dev = SCnsIM(mesh2, p2)
+    sa_dev = make_turbulence_model("Spalart-Allmaras", f_dev)
+    f_dev.run_on_device(verbose=False)
+
+    for a, b, what in ((f_dev.present_solution, f_host.present_solution,
+                        "fluid solution"),
+                       (sa_dev.present_solution, sa_host.present_solution,
+                        "SA nu~"),
+                       (sa_dev.eddy_viscosity_nodal,
+                        sa_host.eddy_viscosity_nodal, "eddy viscosity")):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, np.abs(b).max())
+        assert np.abs(a - b).max() < 1e-8 * scale, \
+            f"device {what} diverges from host: {np.abs(a - b).max():.3e}"
+
+
 def test_sa_attached_run_loop():
     """SUPGFluidSolver.run drives an attached SA model each step
     (reference: source/mpi_supg_solver.cpp:458-468)."""
