@@ -26,46 +26,68 @@ class SolveResult(NamedTuple):
 
 
 def cg(op: Callable, b, x0=None, M: Optional[Callable] = None,
-       atol=1e-10, maxiter: int = 1000) -> SolveResult:
-    """Preconditioned conjugate gradients; stops when ||r||_2 <= atol."""
+       atol=1e-10, maxiter: int = 1000, weight=None) -> SolveResult:
+    """Preconditioned conjugate gradients; stops when ||r|| <= atol.
+
+    weight: optional nonnegative vector defining a weighted inner product
+    <a, b> = sum(w * a * b).  Used by the structured-patch stencil layout
+    (la/stencil.py), where shared nodes are stored once per incident
+    patch: ownership weights (1 owned / 0 duplicate) make the duplicated
+    solve exactly equivalent to the flat one."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda v: v
+    if weight is None:
+        dot = jnp.vdot
+    else:
+        dot = lambda a, c: jnp.vdot(a, weight.astype(c.dtype) * c)
     atol = jnp.asarray(atol, dtype=b.dtype)
 
     r0 = b - op(x0)
     z0 = M(r0)
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = dot(r0, z0)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.linalg.norm(r) > atol) & (k < maxiter)
+        return (jnp.sqrt(dot(r, r)) > atol) & (k < maxiter)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = op(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot(p, Ap)
         alpha = jnp.where(pAp != 0, rz / pAp, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
     x, r, z, p, rz, k = lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
-    return SolveResult(x=x, iters=k, residual=jnp.linalg.norm(r))
+    return SolveResult(x=x, iters=k, residual=jnp.sqrt(dot(r, r)))
 
 
-def _fgmres_cycle(op, M, x0, b, atol, restart: int):
-    """One FGMRES(restart) cycle. Returns (x, converged, iters, resnorm)."""
+def _fgmres_cycle(op, M, x0, b, atol, restart: int, weight=None):
+    """One FGMRES(restart) cycle. Returns (x, converged, iters, resnorm).
+
+    weight: optional weighted-inner-product vector (see cg); the CGS2
+    projections become V @ (w * v) and norms sqrt(<v, w v>) — Arnoldi in
+    the weighted inner product, identical to flat FGMRES when the weights
+    are the patch-ownership mask of a duplicated layout."""
     n = b.shape[0]
     dtype = b.dtype
+    if weight is None:
+        wnorm = jnp.linalg.norm
+        wdot_mat = lambda V, v: V @ v
+    else:
+        w = weight
+        wnorm = lambda v: jnp.sqrt(jnp.vdot(v, w.astype(v.dtype) * v))
+        wdot_mat = lambda V, v: V @ (w.astype(v.dtype) * v)
     r0 = b - op(x0)
-    beta = jnp.linalg.norm(r0)
+    beta = wnorm(r0)
 
     V = jnp.zeros((restart + 1, n), dtype=dtype)
     Z = jnp.zeros((restart, n), dtype=dtype)
@@ -90,12 +112,12 @@ def _fgmres_cycle(op, M, x0, b, atol, restart: int):
         Z = Z.at[k].set(z)
         # CGS2: two classical Gram-Schmidt passes (batched dot products)
         mask = (jnp.arange(restart + 1) <= k).astype(dtype)
-        h1 = (V @ w) * mask
+        h1 = wdot_mat(V, w) * mask
         w = w - V.T @ h1
-        h2 = (V @ w) * mask
+        h2 = wdot_mat(V, w) * mask
         w = w - V.T @ h2
         h = h1 + h2
-        wn = jnp.linalg.norm(w)
+        wn = wnorm(w)
         H = H.at[:, k].set(h)
         H = H.at[k + 1, k].set(wn)
         V = V.at[k + 1].set(jnp.where(wn > 0, w / jnp.where(wn > 0, wn, 1.0),
@@ -139,8 +161,8 @@ def _fgmres_cycle(op, M, x0, b, atol, restart: int):
 
 
 def fgmres(op: Callable, b, x0=None, M: Optional[Callable] = None,
-           atol=1e-10, restart: int = 50, max_restarts: int = 4
-           ) -> SolveResult:
+           atol=1e-10, restart: int = 50, max_restarts: int = 4,
+           weight=None) -> SolveResult:
     """Flexible right-preconditioned GMRES with restarts."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -154,10 +176,14 @@ def fgmres(op: Callable, b, x0=None, M: Optional[Callable] = None,
 
     def body(state):
         x, res, total_k, cyc = state
-        x, res, k = _fgmres_cycle(op, M, x, b, atol, restart)
+        x, res, k = _fgmres_cycle(op, M, x, b, atol, restart, weight)
         return (x, res, total_k + k, cyc + 1)
 
-    r0 = jnp.linalg.norm(b - op(x0))
+    if weight is None:
+        r0 = jnp.linalg.norm(b - op(x0))
+    else:
+        rr = b - op(x0)
+        r0 = jnp.sqrt(jnp.vdot(rr, weight.astype(rr.dtype) * rr))
     x, res, total_k, cyc = lax.while_loop(
         cond, body, (x0, r0, jnp.zeros((), dtype=jnp.int32), 0))
     return SolveResult(x=x, iters=total_k, residual=res)
