@@ -68,6 +68,11 @@ class InsIM(FluidSolverBase):
     # PRECONDITIONED inner FGMRES instead of raw cycles (raw cycles
     # diverge on grad_div-dominated operators — grad-div near-kernel)
     a_mg_precond = False
+    # run the inner A-block FGMRES in the structured-patch stencil
+    # layout when the mesh supports it (la/stencil.py): same condensed
+    # operator, same iteration counts (ownership-weighted inner
+    # products), ~10x cheaper matvecs at refine>=3 sizes
+    a_stencil = True
     # dense condensed inner operators for the whole preconditioner
     # (la/dense.py): the TPU-native layout below ~25k dofs per block,
     # where element gather/scatter latency dominates a GEMV.  Exact same
@@ -187,6 +192,20 @@ class InsIM(FluidSolverBase):
         # velocity NODE table for the node-block matvec layout
         self.cell_nodes_u = jnp.asarray(self.u_space.cell_dofs,
                                         dtype=jnp.int32)
+
+        # structured-patch stencil for the inner A-block solve
+        # (la/stencil.py): available when the mesh is a uniformly
+        # refine_global'd patch grid and the velocity space has no
+        # hanging constraints; _make_preconditioner falls back to the
+        # element matvec otherwise.  Perf-only: the stencil apply IS the
+        # condensed element operator (tests/test_stencil.py).
+        self._u_stencil = None
+        if self.a_stencil and d == 2:
+            from ...la.stencil import PatchGrid, StencilOperator
+            pgrid = PatchGrid.build(self.mesh)
+            if pgrid is not None and not self.u_constraints.any_hanging:
+                self._u_stencil = StencilOperator(pgrid, self.u_space,
+                                                  d=d)
 
         # mass matrices for the preconditioner (no rho; reference
         # source/insim.cpp:255-257)
@@ -528,6 +547,33 @@ class InsIM(FluidSolverBase):
         else:
             a_M = apply_dinv_A
 
+        # structured-patch stencil inner A-solve (la/stencil.py): the
+        # whole inner FGMRES runs in the duplicated patch layout with
+        # ownership-weighted inner products — exactly the same condensed
+        # solve (tests/test_stencil.py), matvecs as shifted contiguous
+        # windowed einsums instead of the index-traffic-bound element
+        # gather/scatter.  Element path retained for dense/velocity-MG
+        # configs and the dof-sharded proxy.
+        st = getattr(self, "_u_stencil", None)
+        if getattr(self, "dense_precond", False) or vmg is not None:
+            st = None
+        if st is not None:
+            W_st = st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d))
+            fix_st = st.spread_mask(ucons.fixed)
+            w_st = st.weight(pdt)
+            if self.a_block_jacobi:
+                Dinv_st = Dinv[st.node_grid.reshape(-1)].reshape(
+                    st.n_p, st.G, st.G, d, d)
+
+                def a_M_st(r):
+                    return jnp.einsum(
+                        "pijab,pijb->pija", Dinv_st,
+                        r.reshape(st.n_p, st.G, st.G, d),
+                        preferred_element_type=pdt).reshape(-1)
+            else:
+                dinv_st = st.spread(dinv_A)
+                a_M_st = lambda r: r * dinv_st     # noqa: E731
+
         def _apply(v, with_stats):
             out_dtype = v.dtype
             v = v.astype(pdt)
@@ -558,6 +604,19 @@ class InsIM(FluidSolverBase):
                 for _ in range(self.a_mg_cycles - 1):
                     au_x = au_x + a_M(utmp - op_A(au_x))
                 au_it = jnp.zeros((), jnp.int32)
+            elif st is not None:
+                # stencil-layout inner FGMRES: spread -> weighted solve ->
+                # read back the owning copies.  The weighted inner product
+                # makes this iteration-for-iteration identical to the flat
+                # element-path solve (la/stencil.py docstring).
+                atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
+                ut_st = st.spread(utmp)
+                au = fgmres(
+                    lambda x: st.condensed_matvec(W_st, fix_st, x),
+                    ut_st, M=a_M_st, atol=atol_u,
+                    restart=self.a_inner_restart,
+                    max_restarts=self.a_inner_restarts, weight=w_st)
+                au_x, au_it = st.unspread(au.x), au.iters
             else:
                 atol_u = self.a_inner_rtol * jnp.linalg.norm(utmp)
                 au = fgmres(op_A, utmp, M=a_M,
