@@ -79,11 +79,16 @@ def _roofline_finish(d, flops, bytes_):
         d["bound"] = "mxu"
 
 
-def _roofline_element(d, n_cells, dpc_v, dpc_p, bpe=4):
+def _roofline_element(d, n_cells, dpc_v, dpc_p, bpe=4, a_stencil=None):
     """Roofline counts for the element-matvec (gather -> block einsum ->
     scatter) solve path from the recorded iteration telemetry.  Per
     matvec: 2*nc*dpc^2 flops; bytes = element-matrix traffic nc*dpc^2*bpe
-    (the dominant stream) + in/out vector gathers 2*nc*dpc*8."""
+    (the dominant stream) + in/out vector gathers 2*nc*dpc*8.
+
+    a_stencil = (n_p, M, S, dim): the inner A-solve ran in the
+    structured-patch stencil layout (la/stencil.py); its per-matvec
+    counts become W-tensor traffic (S^2*d^2 slots) + S^2 shifted window
+    reads + the output write instead of the element-block stream."""
     tel = d.get("inner_iters_per_precond_apply")
     if tel is None or "outer_fgmres_iters" not in d:
         return
@@ -97,7 +102,16 @@ def _roofline_element(d, n_cells, dpc_v, dpc_p, bpe=4):
             n * (n_cells * k * k * b + 2.0 * n_cells * k * 8)
 
     f_full, b_full = mv(newton * outer, dpc, 8)       # f64 outer matvec
-    f_a, b_a = mv(newton * outer * tel["a_fgmres"], dpc_v, bpe)
+    n_a = newton * outer * tel["a_fgmres"]
+    if a_stencil is not None:
+        n_p, M, S, dim = a_stencil
+        slots = n_p * M
+        f_a = n_a * 2.0 * slots * S * S * dim * dim
+        b_a = n_a * slots * bpe * (S * S * dim * dim   # W tensor
+                                   + S * S * dim       # window reads
+                                   + dim)              # y write
+    else:
+        f_a, b_a = mv(n_a, dpc_v, bpe)
     f_p, b_p = mv(newton * outer * (tel["sm_cg"] + tel["mp_cg"]),
                   dpc_p, bpe)
     _roofline_finish(d, f_full + f_a + f_p, b_full + b_a + b_p)
@@ -275,7 +289,13 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
         out["inner_iters_per_precond_apply"] = {
             "mp_cg": int(mp_i), "sm_cg": int(sm_i), "a_fgmres": int(a_i)}
         # Q2/Q1 2D: 9 velocity nodes x 2 comps + 4 pressure nodes
-        _roofline_element(out, meshes[-1].n_cells, dpc_v=18, dpc_p=4)
+        st = getattr(s, "_u_stencil", None)
+        use_st = (st is not None and not getattr(s, "dense_precond", False)
+                  and getattr(s, "_velocity_mg", None) is None)
+        out["a_stencil"] = bool(use_st)
+        _roofline_element(out, meshes[-1].n_cells, dpc_v=18, dpc_p=4,
+                          a_stencil=(st.n_p, st.M, 2 * st.k + 1, st.d)
+                          if use_st else None)
     return out, value
 
 

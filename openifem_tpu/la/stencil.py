@@ -9,26 +9,39 @@ and a Q_k FEM operator restricted to a patch is a dense (2k+1)^2-point
 stencil on a regular (k*m+1)^2 node grid.
 
 The element-block SpMV (la/operators.py) is index-traffic bound on TPU
-(measured ~50-70x off the bandwidth roofline at cylinder sizes — see
-la/pallas_ops.py and BENCH_DETAILS.json round 4: ~2.9 ms per velocity
-matvec at refine=4 vs a ~0.1 ms floor).  This module removes the
-gather/scatter entirely for the structured bulk:
+(measured ~5 ms per velocity matvec at cylinder refine=4 vs a ~0.1 ms
+bandwidth floor).  This module removes the gather/scatter entirely for
+the structured bulk.  Measured on v5e at refine=4 (Q2, d=2, 23.5k
+cells): element 5.1 ms -> 2.3 ms full stencil apply.
 
-  y[p, i, j] = sum_{|di|,|dj| <= k}  W[p, i, j, di, dj] @ x[p, i+di, j+dj]
+TPU-first layout (all shapes chosen for the (8, 128) VREG tiling):
 
-— shifted CONTIGUOUS reads of a dense weight tensor, pure VPU/MXU work.
-Nodes shared between patches are stored once per incident patch
-(duplicated copies); each patch's stencil carries only own-patch
-contributions, and a small combine (gather over ~4G slots/patch +
-sorted segment-sum + unique-index scatter) sums the partial results of
-the copies after every apply.  Patch connectivity can be arbitrary
-(irregular coarse vertices, curved manifolds): the combine is purely
-node-identity based.
+ * Patch vectors are (d, n_p, M) with M = Gp*Gp, Gp = G + 2k the
+   zero-BORDERED node grid, flattened per patch.  The large M axis sits
+   on the lanes; the tiny d axis is OUTERMOST (a d-last layout wastes
+   126 of 128 lanes — measured 3x slower).
+ * The stencil tensor is W[(2k+1)^2, d, d, n_p, M]; an apply is S^2
+   shifted CONTIGUOUS slices of a front/back-guarded copy of x, each
+   fused into a (d x d) multiply-add over the whole (n_p, M) plane —
+   pure VPU work, no gather, no scatter:
+
+       y[a, p, m] = sum_{s, b}  W[s, a, b, p, m] * xg[b, p, m + off(s)]
+
+   Entries that would reach outside a patch are structurally ZERO in W
+   (only own-patch contributions are accumulated), so the guard reads
+   contribute nothing.
+ * Nodes shared between patches are stored once per incident patch;
+   after an apply, a GATHER-ONLY combine sums the copies: a fixed-width
+   duplicate table (n_shared, max_copies) -> row-sum -> select
+   write-back through a seg-of-slot map.  No scatter: TPU scatters
+   serialize (the scatter-based combine alone measured 2.1 ms — as much
+   as the whole matvec).
 
 Krylov solves run directly in the duplicated patch layout with
-OWNERSHIP-WEIGHTED inner products (each physical node counted once),
-which keeps CG/FGMRES exactly equivalent to the flat solve in exact
-arithmetic (la/krylov.py `weight=`).
+OWNERSHIP-WEIGHTED inner products (each physical node counted once,
+duplicates and pad slots weighted 0), which keeps CG/FGMRES exactly
+equivalent to the flat solve in exact arithmetic (la/krylov.py
+`weight=`).
 
 Build cost: the per-Newton element->stencil transform is (k+1)^4 strided
 slice-adds (dense, no scatter), amortized over the O(100) matvecs of an
@@ -108,10 +121,11 @@ class StencilOperator:
     Host-built static tables; `build_weights` (jit-safe) turns per-Newton
     element node-blocks into the stencil tensor; `matvec` applies it.
 
-    Layout: patch vectors are (n_p, G, G, d) with G = k*m + 1, flattened
-    to 1D for the Krylov drivers.  `spread`/`unspread` convert to/from
-    flat global node vectors; `weight` is the ownership mask for
-    weighted inner products.
+    Patch vectors are flat (d * n_p * M) in the d-first bordered layout
+    (module docstring).  `spread`/`unspread` convert to/from flat global
+    node vectors; `weight` is the ownership mask for weighted inner
+    products; `spread_blockdiag` lifts a nodal (d x d) block-Jacobi into
+    the layout.
     """
 
     def __init__(self, grid: PatchGrid, space, d: int = 1):
@@ -144,120 +158,168 @@ class StencilOperator:
                           k * cj:k * cj + k + 1] = sub
         assert (node_grid >= 0).all()
 
-        flat = node_grid.reshape(-1)
+        Gp = G + 2 * k
+        M = Gp * Gp
+        Np = n_p * M
         n_nodes = space.n_nodes
-        # ownership: first occurrence of each node
-        first = np.zeros(n_nodes, dtype=np.int64)
-        seen = np.zeros(n_nodes, dtype=bool)
-        own = np.zeros(flat.shape[0], dtype=bool)
-        order = np.arange(flat.shape[0])
-        # vectorized first-occurrence
-        uniq, first_idx = np.unique(flat, return_index=True)
-        assert uniq.size == n_nodes, "grid does not cover all nodes"
-        own[first_idx] = True
-        first[uniq] = first_idx
-        seen = None  # noqa: F841
 
-        counts = np.bincount(flat, minlength=n_nodes)
+        # interior slot index (into the per-patch bordered M grid) of
+        # node (p, i, j): m = (i+k)*Gp + (j+k)
+        pm = ((np.arange(G)[:, None] + k) * Gp
+              + (np.arange(G)[None, :] + k))
+        slot_of = (np.arange(n_p)[:, None, None] * M
+                   + pm[None]).reshape(-1)          # (n_p*G*G,)
+        flat_nodes = node_grid.reshape(-1)
+
+        # pad_node: (n_p, M) node id per slot, sentinel n_nodes at borders
+        pad_node = np.full(Np, n_nodes, dtype=np.int64)
+        pad_node[slot_of] = flat_nodes
+
+        # ownership: first occurrence of each node (among interior slots)
+        uniq, first_idx = np.unique(flat_nodes, return_index=True)
+        assert uniq.size == n_nodes, "grid does not cover all nodes"
+        first_slot = np.zeros(n_nodes, dtype=np.int64)
+        first_slot[uniq] = slot_of[first_idx]
+        own = np.zeros(Np, dtype=bool)
+        own[slot_of[first_idx]] = True
+
+        # gather-only combine tables: fixed-width duplicate list + a
+        # seg-of-slot select map (no scatter — TPU scatters serialize)
+        counts = np.bincount(flat_nodes, minlength=n_nodes)
         dup_nodes = np.where(counts > 1)[0]
-        # duplicated slots, grouped by node (sorted segment ids)
-        dup_mask = counts[flat] > 1
-        dup_slots = np.where(dup_mask)[0]
-        o = np.argsort(flat[dup_slots], kind="stable")
-        dup_slots = dup_slots[o]
-        seg_ids = np.searchsorted(dup_nodes, flat[dup_slots])
+        n_sh = dup_nodes.size
+        maxc = int(counts.max()) if n_sh else 1
+        node_to_seg = np.full(n_nodes, -1, np.int64)
+        node_to_seg[dup_nodes] = np.arange(n_sh)
+        # tab padded with slot 0 — always a border slot (k >= 1), which a
+        # matvec leaves exactly zero (W has no entries on border rows)
+        tab = np.zeros((max(n_sh, 1), maxc), np.int64)
+        fill = np.zeros(max(n_sh, 1), np.int64)
+        segs = node_to_seg[flat_nodes]
+        for s_i, g in zip(slot_of, segs):
+            if g >= 0:
+                tab[g, fill[g]] = s_i
+                fill[g] += 1
+        seg_of = np.zeros(Np, np.int64)
+        is_dup = np.zeros(Np, bool)
+        md = segs >= 0
+        seg_of[slot_of[md]] = segs[md]
+        is_dup[slot_of[md]] = True
 
         self.space = space
         self.grid = grid
         self.k, self.m, self.G, self.d = k, m, G, d
+        self.Gp, self.M = Gp, M
         self.n_p = n_p
         self.n_nodes = n_nodes
+        self.n_slots = d * Np
         self.node_grid = jnp.asarray(node_grid, dtype=jnp.int32)
-        self.own_np = own.reshape(n_p, G, G)
-        self.first_slot = jnp.asarray(first, dtype=jnp.int32)
-        self.dup_slots = jnp.asarray(dup_slots, dtype=jnp.int32)
-        self.dup_seg = jnp.asarray(seg_ids, dtype=jnp.int32)
-        self.n_shared = int(dup_nodes.size)
+        self._own = own
+        self.pad_node = jnp.asarray(pad_node, dtype=jnp.int32)
+        self.first_slot = jnp.asarray(first_slot, dtype=jnp.int32)
+        self.comb_tab = jnp.asarray(tab, dtype=jnp.int32)
+        self.comb_seg = jnp.asarray(seg_of, dtype=jnp.int32)
+        self.comb_dup = jnp.asarray(is_dup)
+        self.n_shared = n_sh
         self.perm_cells = jnp.asarray(grid.cell_of, dtype=jnp.int32)
-        self.n_slots = n_p * G * G * d
+        # guard width so slice s starts at si*Gp + sj and reads the
+        # (i + si - k, j + sj - k) neighbor of every output node
+        self.F = k * Gp + k
 
     # -- layout maps ----------------------------------------------------
     def weight(self, dtype=jnp.float32):
-        """Ownership weights (1 owned / 0 duplicate), flat (n_slots,)."""
-        w = jnp.asarray(self.own_np, dtype=dtype)
-        return jnp.broadcast_to(w[..., None],
-                                (*w.shape, self.d)).reshape(-1)
+        """Ownership weights (1 owned / 0 duplicate or pad), flat
+        (n_slots,)."""
+        w = jnp.asarray(self._own, dtype=dtype)
+        return jnp.broadcast_to(w[None], (self.d, w.shape[0])).reshape(-1)
 
     def spread(self, x):
         """Global flat (n_nodes*d,) -> patch flat (n_slots,)."""
-        v = x.reshape(self.n_nodes, self.d)
-        return v[self.node_grid.reshape(-1)].reshape(-1)
+        v = x.reshape(self.n_nodes, self.d).T          # (d, n_nodes)
+        v = jnp.concatenate(
+            [v, jnp.zeros((self.d, 1), v.dtype)], axis=1)
+        return v[:, self.pad_node].reshape(-1)
 
     def spread_mask(self, mask):
-        """Boolean/float per-dof mask -> patch layout (non-flattened d)."""
-        v = mask.reshape(self.n_nodes, self.d)
-        return v[self.node_grid.reshape(-1)].reshape(
-            self.n_p, self.G, self.G, self.d)
+        """Boolean/float per-dof mask -> flat patch layout (n_slots,);
+        pad slots get 0/False."""
+        return self.spread(mask)
 
     def unspread(self, X):
         """Patch flat -> global flat, reading the owning copy."""
-        v = X.reshape(-1, self.d)
-        return v[self.first_slot].reshape(-1)
+        v = X.reshape(self.d, -1)[:, self.first_slot]  # (d, n_nodes)
+        return v.T.reshape(-1)
+
+    def spread_blockdiag(self, D):
+        """Nodal (n_nodes, d, d) block-Jacobi -> apply closure on flat
+        patch vectors (pad slots pass through zero inputs unchanged)."""
+        d = self.d
+        Dp = jnp.concatenate(
+            [D, jnp.eye(d, dtype=D.dtype)[None]], axis=0)
+        Dt = Dp[self.pad_node].transpose(2, 3, 0, 1)   # (d, d, Np)
+
+        def apply(r):
+            R = r.reshape(d, -1)
+            y = jnp.einsum("abn,bn->an", Dt, R,
+                           preferred_element_type=r.dtype)
+            return y.reshape(-1)
+        return apply
 
     # -- per-Newton weight build ----------------------------------------
     def build_weights(self, Ab):
         """Element node-blocks (n_c, nl, d, nl, d) -> stencil tensor
-        (n_p, G, G, 2k+1, 2k+1, d, d), own-patch contributions only.
-        jit-safe: (k+1)^4 strided slice-adds, no scatter."""
-        k, m, G, d, n_p = self.k, self.m, self.G, self.d, self.n_p
+        (S*S, d, d, n_p, M), own-patch contributions only, zero on the
+        k-wide border rows.  jit-safe: (k+1)^4 strided slice-adds, no
+        scatter."""
+        k, m, Gp, d, n_p = self.k, self.m, self.Gp, self.d, self.n_p
         S = 2 * k + 1
         Ec = Ab[self.perm_cells.reshape(-1)].reshape(
             n_p, m, m, (k + 1) ** 2, d, (k + 1) ** 2, d)
-        W = jnp.zeros((n_p, G, G, S, S, d, d), dtype=Ab.dtype)
+        W = jnp.zeros((S, S, d, d, n_p, Gp, Gp), dtype=Ab.dtype)
         for a in range(k + 1):
-            si = slice(a, k * (m - 1) + a + 1, k)
+            si = slice(a + k, a + k + k * (m - 1) + 1, k)
             for b in range(k + 1):
-                sj = slice(b, k * (m - 1) + b + 1, k)
+                sj = slice(b + k, b + k + k * (m - 1) + 1, k)
                 l1 = b * (k + 1) + a
                 for a2 in range(k + 1):
                     for b2 in range(k + 1):
                         l2 = b2 * (k + 1) + a2
-                        W = W.at[:, si, sj, a2 - a + k, b2 - b + k].add(
-                            Ec[:, :, :, l1, :, l2, :])
-        return W
+                        blk = Ec[:, :, :, l1, :, l2, :]   # (np,m,m,d,d)
+                        W = W.at[a2 - a + k, b2 - b + k, :, :, :,
+                                 si, sj].add(
+                            blk.transpose(3, 4, 0, 1, 2))
+        return W.reshape(S * S, d, d, n_p, Gp * Gp)
 
     # -- apply ------------------------------------------------------------
     def combine(self, Y):
         """Sum duplicated copies of shared nodes and write the total back
-        into every copy.  Y: (n_slots,) flat patch vector."""
-        v = Y.reshape(-1, self.d)
-        vals = v[self.dup_slots]
-        sums = jax.ops.segment_sum(vals, self.dup_seg,
-                                   num_segments=self.n_shared,
-                                   indices_are_sorted=True)
-        v = v.at[self.dup_slots].set(sums[self.dup_seg],
-                                     unique_indices=True)
-        return v.reshape(-1)
+        into every copy.  Y: (n_slots,) flat patch vector.  Gather-only:
+        fixed-width duplicate table row-sum + seg-of-slot select."""
+        v = Y.reshape(self.d, -1)
+        tot = v[:, self.comb_tab].sum(axis=2)          # (d, n_shared)
+        out = jnp.where(self.comb_dup[None], tot[:, self.comb_seg], v)
+        return out.reshape(-1)
 
     def matvec(self, W, x):
         """y = A x in patch layout (both flat (n_slots,))."""
-        k, G, d, n_p = self.k, self.G, self.d, self.n_p
+        k, Gp, M, d, n_p = self.k, self.Gp, self.M, self.d, self.n_p
         S = 2 * k + 1
-        X = x.reshape(n_p, G, G, d)
-        Xp = jnp.pad(X, ((0, 0), (k, k), (k, k), (0, 0)))
-        # windows: (n_p, G, G, S*S, d) contiguous slices
-        win = jnp.stack([Xp[:, oi:oi + G, oj:oj + G]
-                         for oi in range(S) for oj in range(S)], axis=3)
-        Y = jnp.einsum("pijoab,pijob->pija",
-                       W.reshape(n_p, G, G, S * S, d, d), win,
-                       preferred_element_type=x.dtype)
-        return self.combine(Y.reshape(-1))
+        X = x.reshape(d, n_p, M)
+        Xg = jnp.pad(X, ((0, 0), (0, 0), (self.F, self.F)))
+        y = jnp.zeros((d, n_p, M), x.dtype)
+        for si in range(S):
+            for sj in range(S):
+                win = jax.lax.dynamic_slice_in_dim(
+                    Xg, si * Gp + sj, M, axis=2)
+                y = y + jnp.einsum("abpm,bpm->apm", W[si * S + sj], win,
+                                   preferred_element_type=x.dtype)
+        return self.combine(y.reshape(-1))
 
     def condensed_matvec(self, W, fixed_patch, x):
         """Constraint-condensed apply (Dirichlet-only meshes): identity on
         fixed dofs, fixed columns zeroed — matches
         Constraints.wrap_operator for any_hanging == False.
-        fixed_patch: (n_p, G, G, d) bool (spread_mask of cons.fixed)."""
-        xz = jnp.where(fixed_patch.reshape(-1), 0.0, x)
+        fixed_patch: flat (n_slots,) bool (spread_mask of cons.fixed)."""
+        xz = jnp.where(fixed_patch, 0.0, x)
         y = self.matvec(W, xz)
-        return jnp.where(fixed_patch.reshape(-1), x, y)
+        return jnp.where(fixed_patch, x, y)

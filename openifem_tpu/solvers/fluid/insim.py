@@ -562,14 +562,7 @@ class InsIM(FluidSolverBase):
             fix_st = st.spread_mask(ucons.fixed)
             w_st = st.weight(pdt)
             if self.a_block_jacobi:
-                Dinv_st = Dinv[st.node_grid.reshape(-1)].reshape(
-                    st.n_p, st.G, st.G, d, d)
-
-                def a_M_st(r):
-                    return jnp.einsum(
-                        "pijab,pijb->pija", Dinv_st,
-                        r.reshape(st.n_p, st.G, st.G, d),
-                        preferred_element_type=pdt).reshape(-1)
+                a_M_st = st.spread_blockdiag(Dinv)
             else:
                 dinv_st = st.spread(dinv_A)
                 a_M_st = lambda r: r * dinv_st     # noqa: E731

@@ -82,11 +82,13 @@ def test_stencil_duplicates_consistent():
     Ab = jnp.asarray(_random_blocks(rng, mesh.n_cells, nl, 2))
     x = jnp.asarray(rng.standard_normal(sp.n_nodes * 2))
     Y = st.matvec(st.build_weights(Ab), st.spread(x))
-    v = np.asarray(Y).reshape(-1, 2)
+    # d-first bordered layout: slot node ids come from pad_node
+    v = np.asarray(Y).reshape(2, -1)
+    pn = np.asarray(st.pad_node)
     ng = np.asarray(st.node_grid).reshape(-1)
     for node in np.unique(ng[:64]):
-        copies = v[ng == node]
-        assert np.allclose(copies, copies[0])
+        copies = v[:, pn == node]
+        assert np.allclose(copies, copies[:, :1])
 
 
 def test_stencil_condensed_matches_wrap_operator():
