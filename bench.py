@@ -184,6 +184,10 @@ def _make_solver(meshes, p, velocity_mg=False, f32_outer_shell=False,
         # a looser inner solve; with mg_direct the Sm apply is cheap, so
         # extra outer iterations cost less than they used to)
         BenchInsIM.a_inner_rtol = float(os.environ["BENCH_A_RTOL"])
+    if os.environ.get("BENCH_A_POLY"):
+        # polynomial-Jacobi inner preconditioner experiment: amortizes
+        # the per-iteration full-basis CGS2 over a_poly matvecs
+        BenchInsIM.a_poly = int(os.environ["BENCH_A_POLY"])
 
     s = BenchInsIM(meshes[-1], p, bc=_cylinder_bc)
     s.setup()
@@ -253,7 +257,9 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
         "case": (f"fluid_cylinder_r{refine}"
                  + ("_forcing" if forcing else "")
                  + (f"_artol{os.environ['BENCH_A_RTOL']}"
-                    if os.environ.get("BENCH_A_RTOL") else "")),
+                    if os.environ.get("BENCH_A_RTOL") else "")
+                 + (f"_apoly{os.environ['BENCH_A_POLY']}"
+                    if os.environ.get("BENCH_A_POLY") else "")),
         "newton_forcing": forcing,
         "a_inner_rtol": float(os.environ.get("BENCH_A_RTOL", 1e-2)),
         "n_dofs": int(s.n_dofs),

@@ -73,6 +73,15 @@ class InsIM(FluidSolverBase):
     # operator, same iteration counts (ownership-weighted inner
     # products), ~10x cheaper matvecs at refine>=3 sizes
     a_stencil = True
+    # polynomial (damped-Jacobi Richardson) preconditioner for the inner
+    # A-solve: a_poly > 1 wraps a_poly Jacobi sweeps into each FGMRES
+    # preconditioner apply.  Preconditioner-shape change only (flexible
+    # inner + f64 Newton gate unchanged); it amortizes the per-iteration
+    # CGS2 orthogonalization — which projects against the full static
+    # (restart+1, n) basis under lax.while_loop and costs ~2x a stencil
+    # matvec at refine=4 — over a_poly matvecs.
+    a_poly = 1
+    a_poly_omega = 0.8
     # dense condensed inner operators for the whole preconditioner
     # (la/dense.py): the TPU-native layout below ~25k dofs per block,
     # where element gather/scatter latency dominates a GEMV.  Exact same
@@ -557,6 +566,24 @@ class InsIM(FluidSolverBase):
         st = getattr(self, "_u_stencil", None)
         if getattr(self, "dense_precond", False) or vmg is not None:
             st = None
+        def _poly_wrap(base_M, op):
+            """a_poly damped-Jacobi Richardson sweeps as one preconditioner
+            apply (class docstring at a_poly): z0 = w M r;
+            z_{i+1} = z_i + w M (r - A z_i)."""
+            # getattr: the dof-sharded proxy (parallel/shard.py) calls
+            # this unbound with a SimpleNamespace
+            k_p = getattr(self, "a_poly", 1)
+            omega = getattr(self, "a_poly_omega", 0.8)
+            if k_p <= 1:
+                return base_M
+
+            def M(r):
+                z = omega * base_M(r)
+                for _ in range(k_p - 1):
+                    z = z + omega * base_M(r - op(z))
+                return z
+            return M
+
         if st is not None:
             W_st = st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d))
             fix_st = st.spread_mask(ucons.fixed)
@@ -566,6 +593,10 @@ class InsIM(FluidSolverBase):
             else:
                 dinv_st = st.spread(dinv_A)
                 a_M_st = lambda r: r * dinv_st     # noqa: E731
+            a_M_st = _poly_wrap(
+                a_M_st, lambda x: st.condensed_matvec(W_st, fix_st, x))
+        elif vmg is None:
+            a_M = _poly_wrap(a_M, op_A)
 
         def _apply(v, with_stats):
             out_dtype = v.dtype

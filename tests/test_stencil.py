@@ -175,3 +175,56 @@ def test_patchgrid_rejects_nonuniform():
     mesh = generators.hyper_cube(0.0, 1.0, dim=2).refine_global(1)
     mesh = mesh.refine(np.array([True, False, False, False]))
     assert PatchGrid.build(mesh) is None
+
+
+def test_poly_jacobi_inner_matches_default():
+    """a_poly (damped-Jacobi Richardson polynomial inner preconditioner)
+    changes only iteration counts: a truncated cavity run converges to
+    the same state as the default pointwise-Jacobi inner solve."""
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.03
+    p.global_refinements[0] = 3
+
+    def run(cls):
+        f = cls(generators.hyper_cube(0.0, 1.0, dim=2), p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    class Poly(InsIM):
+        a_poly = 4
+
+    ref = run(InsIM)
+    got = run(Poly)
+    # same converged solution (both gated on the f64 Newton residual at
+    # the prm tolerance); the preconditioner change is invisible at the
+    # solve tolerance
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_poly_jacobi_element_path_matches_default():
+    """a_poly on the ELEMENT path (stencil disabled) is the same wrap."""
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+    p.end_time = 0.02
+    p.global_refinements[0] = 3
+
+    def run(cls):
+        f = cls(generators.hyper_cube(0.0, 1.0, dim=2), p)
+        f.run(verbose=False)
+        return np.asarray(f.present_solution)
+
+    class NoSt(InsIM):
+        a_stencil = False
+
+    class PolyNoSt(NoSt):
+        a_poly = 3
+        a_poly_omega = 0.7
+
+    assert np.abs(run(PolyNoSt) - run(NoSt)).max() < 1e-6
