@@ -512,6 +512,10 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
         f32_outer = True
         dense_precond = extra_refine == 0
         dense_a_bf16 = extra_refine == 0
+        # scaled cases: one Galerkin pressure V-cycle directly as Sm^-1
+        # (the Sm-CG-wrapping-V-cycles chain is the dominant latency at
+        # >=60k dofs — same finding as cylinder r4)
+        mg_direct = extra_refine > 0
 
     # throughput bench: no per-step VTU writes (the reference prm's
     # output interval == dt; solver throughput is what the metric is)
@@ -519,10 +523,19 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
 
     base_mesh = generators.subdivided_hyper_rectangle(
         [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
-    centers = base_mesh.cell_centers()
-    flags = ((centers[:, 0] >= L / 4 - a) & (centers[:, 0] <= L / 4 + 2 * a)
-             & (centers[:, 1] < H / 2))
-    fluid_mesh = base_mesh.refine(flags)
+    if extra_refine:
+        # scaled cases are UNIFORMLY refined (this bench's extension, not
+        # a reference config): everywhere at least as fine as the
+        # reference's locally-refined leaflet region after extra_refine
+        # global levels, and patch-structured so the stencil A-solve
+        # (la/stencil.py) engages inside the fused coupled step
+        fluid_mesh = base_mesh
+    else:
+        centers = base_mesh.cell_centers()
+        flags = ((centers[:, 0] >= L / 4 - a)
+                 & (centers[:, 0] <= L / 4 + 2 * a)
+                 & (centers[:, 1] < H / 2))
+        fluid_mesh = base_mesh.refine(flags)
     fluid = BenchInsIM(fluid_mesh, p, bc=bv)
     solid_mesh = generators.subdivided_hyper_rectangle(
         [int(a / h), int(b / h)], [L / 4, 0.0], [a + L / 4, b])
@@ -606,7 +619,12 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
                                   a_bpe=2 if BenchInsIM.dense_a_bf16
                                   else 4)
         else:
-            _roofline_element(out, f.mesh.n_cells, dpc_v=18, dpc_p=4)
+            stf = getattr(f, "_u_stencil", None)
+            out["a_stencil"] = stf is not None
+            _roofline_element(out, f.mesh.n_cells, dpc_v=18, dpc_p=4,
+                              a_stencil=(stf.n_p, stf.M, 2 * stf.k + 1,
+                                         stf.d) if stf is not None
+                              else None)
     return out, value
 
 
@@ -821,9 +839,15 @@ def main():
     run_case("leaflet", lambda: bench_fsi_leaflet(n_steps=10),
              is_headline=True)
     run_case("wall3d", bench_fsi_wall_3d, is_headline=True)
+    # scaled coupled-FSI north star (VERDICT r3 #4: >=200k coupled DoFs):
+    # uniformly refined fluid (+2 levels, ~239k coupled), stencil A-solve
     run_case("leaflet_r2",
-             lambda: bench_fsi_leaflet(n_steps=5, extra_refine=1),
+             lambda: bench_fsi_leaflet(n_steps=5, extra_refine=2),
              is_headline=True)
+    if only == "leaflet_r1":
+        d, v = bench_fsi_leaflet(n_steps=5, extra_refine=1)
+        record(d)
+        headline(d, v)
     # ---- the >=1e5-DoF fluid case ----
     # mg_direct: one pressure V-cycle as Sm^-1 under the flexible outer
     # (measured r4: 14671 -> 11485 ms/step = 12.4x; the V-cycle-inside-
@@ -864,6 +888,13 @@ def main():
                               host_first_step=False, f32_outer_shell=True,
                               mg_direct=True, a_mg_precond=True)
         d["case"] += "_velmg"
+        record(d)
+        headline(d, v)
+    if only == "r5":
+        # stretch: ~850k-DoF cylinder on the stencil path (TPU advantage
+        # should GROW with size — VERDICT r3 #4's thesis at fluid scale)
+        d, v = bench_cylinder(5, timed=2, host_first_step=False,
+                              f32_outer_shell=True, mg_direct=True)
         record(d)
         headline(d, v)
     if only == "r4sm":
