@@ -41,6 +41,7 @@ path):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -516,6 +517,7 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
         # (the Sm-CG-wrapping-V-cycles chain is the dominant latency at
         # >=60k dofs — same finding as cylinder r4)
         mg_direct = extra_refine > 0
+        a_poly = int(os.environ.get("BENCH_A_POLY", 1))
 
     # throughput bench: no per-step VTU writes (the reference prm's
     # output interval == dt; solver throughput is what the metric is)
@@ -587,7 +589,9 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
     value = n_dofs * n_steps / elapsed / 1e6
     out = {
         "case": "fsi_leaflet" + (f"_r{extra_refine}" if extra_refine
-                                 else ""),
+                                 else "")
+                + (f"_apoly{os.environ['BENCH_A_POLY']}"
+                   if os.environ.get("BENCH_A_POLY") else ""),
         "n_dofs": int(n_dofs),
         "timed_steps": n_steps,
         "ms_per_step": round(elapsed / n_steps * 1e3, 1),

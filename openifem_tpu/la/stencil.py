@@ -62,17 +62,46 @@ class PatchGrid:
 
     cell_of[p, i, j] = fine-cell index of patch p at patch coords (i, j),
     with i along the coarse cell's local x (v0->v1) and j along y
-    (v0->v2).  Built by z-order digit decoding of the refinement history
-    (children are appended 4-per-cell in deal.II z-order by
-    mesh._refine_2d) and VERIFIED topologically; returns None from
-    `build` when the mesh is not patch-structured (mixed levels, or the
-    decode fails verification).
+    (v0->v2); patches may be RECTANGULAR (mi x mj cells).  Built by
+    z-order digit decoding of the refinement history (children are
+    appended 4-per-cell in deal.II z-order by mesh._refine_2d) and
+    VERIFIED topologically; returns None from `build` when the mesh is
+    not patch-structured (mixed levels, or the decode fails
+    verification).
+
+    When the coarse cells themselves form one rectangular grid (every
+    `subdivided_hyper_rectangle` / `hyper_cube` mesh), the patches are
+    MERGED into a single global super-patch: no shared nodes, no
+    duplication, combine-free stencil applies (the combine gathers cost
+    as much as the matvec itself in the many-small-patches regime).
+    The merge is discovered from patch adjacency and re-verified, so an
+    irregular coarse topology (e.g. the Turek cylinder grid) silently
+    keeps the multi-patch layout.
     """
 
-    def __init__(self, m: int, cell_of: np.ndarray):
-        self.m = m
+    def __init__(self, mi: int, mj: int, cell_of: np.ndarray):
+        self.mi = mi
+        self.mj = mj
         self.n_patches = cell_of.shape[0]
         self.cell_of = cell_of
+
+    @staticmethod
+    def _verify(cells, cell_of) -> bool:
+        """Neighbors in the patch grid must share the matching vertex
+        pairs (z-order cell vertex convention)."""
+        a = cell_of[:, :-1, :].reshape(-1)
+        b = cell_of[:, 1:, :].reshape(-1)
+        if a.size and not (np.array_equal(cells[a][:, 1], cells[b][:, 0])
+                           and np.array_equal(cells[a][:, 3],
+                                              cells[b][:, 2])):
+            return False
+        a = cell_of[:, :, :-1].reshape(-1)
+        b = cell_of[:, :, 1:].reshape(-1)
+        if a.size and not (np.array_equal(cells[a][:, 2], cells[b][:, 0])
+                           and np.array_equal(cells[a][:, 3],
+                                              cells[b][:, 1])):
+            return False
+        return True
 
     @staticmethod
     def build(mesh) -> Optional["PatchGrid"]:
@@ -97,22 +126,67 @@ class PatchGrid:
             j = (j << 1) | ((z >> 1) & 1)
         cell_of = np.zeros((n_p, m, m), dtype=np.int64)
         cell_of[:, i, j] = (np.arange(n_p)[:, None] * (m * m) + q[None, :])
-        # topological verification: neighbors in the patch grid must share
-        # the matching vertex pairs (z-order cell vertex convention)
         cells = np.asarray(mesh.cells)
-        a = cell_of[:, :-1, :].reshape(-1)
-        b = cell_of[:, 1:, :].reshape(-1)
-        if a.size and not (np.array_equal(cells[a][:, 1], cells[b][:, 0])
-                           and np.array_equal(cells[a][:, 3],
-                                              cells[b][:, 2])):
+        if not PatchGrid._verify(cells, cell_of):
             return None
-        a = cell_of[:, :, :-1].reshape(-1)
-        b = cell_of[:, :, 1:].reshape(-1)
-        if a.size and not (np.array_equal(cells[a][:, 2], cells[b][:, 0])
-                           and np.array_equal(cells[a][:, 3],
-                                              cells[b][:, 1])):
+        merged = PatchGrid._try_merge(cells, cell_of, m)
+        if merged is not None:
+            return merged
+        return PatchGrid(m, m, cell_of)
+
+    @staticmethod
+    def _try_merge(cells, cell_of, m) -> Optional["PatchGrid"]:
+        """Arrange the patches into one rectangular super-patch if their
+        adjacency forms a perfect grid with consistent orientation."""
+        n_p = cell_of.shape[0]
+        if n_p == 1:
+            return PatchGrid(m, m, cell_of)
+        # +x neighbor: q whose left-edge first cell shares p's right-edge
+        # first cell's (v1, v3) as its (v0, v2); +y via (v2, v3)/(v0, v1)
+        left_key = {}
+        bot_key = {}
+        for p in range(n_p):
+            c = cells[cell_of[p, 0, 0]]
+            left_key[(c[0], c[2])] = p
+            bot_key[(c[0], c[1])] = p
+        px = np.full(n_p, -1, np.int64)
+        py = np.full(n_p, -1, np.int64)
+        for p in range(n_p):
+            c = cells[cell_of[p, -1, 0]]
+            px[p] = left_key.get((c[1], c[3]), -1)
+            c = cells[cell_of[p, 0, -1]]
+            py[p] = bot_key.get((c[2], c[3]), -1)
+        starts = [p for p in range(n_p)
+                  if p not in set(px[px >= 0]) and p not in set(py[py >= 0])]
+        if len(starts) != 1:
             return None
-        return PatchGrid(m, cell_of)
+        # walk the grid
+        rows = []
+        row_start = starts[0]
+        seen = set()
+        while row_start != -1:
+            row = []
+            p = row_start
+            while p != -1:
+                if p in seen:
+                    return None
+                seen.add(p)
+                row.append(p)
+                p = px[p]
+            rows.append(row)
+            row_start = py[row_start]
+        if len(seen) != n_p or any(len(r) != len(rows[0]) for r in rows):
+            return None
+        nx, ny = len(rows[0]), len(rows)
+        pos = np.array(rows, dtype=np.int64)        # (ny, nx)
+        mc = np.zeros((1, nx * m, ny * m), dtype=np.int64)
+        for iy in range(ny):
+            for ix in range(nx):
+                mc[0, ix * m:(ix + 1) * m, iy * m:(iy + 1) * m] = \
+                    cell_of[pos[iy, ix]]
+        if not PatchGrid._verify(cells, mc):
+            return None
+        return PatchGrid(nx * m, ny * m, mc)
 
 
 class StencilOperator:
@@ -130,8 +204,8 @@ class StencilOperator:
 
     def __init__(self, grid: PatchGrid, space, d: int = 1):
         k = space.degree
-        m = grid.m
-        G = k * m + 1
+        mi, mj = grid.mi, grid.mj
+        Gi, Gj = k * mi + 1, k * mj + 1
         n_p = grid.n_patches
         nl = (k + 1) ** 2
         cd = np.asarray(space.cell_dofs)
@@ -140,12 +214,12 @@ class StencilOperator:
 
         # node grid: (p, gi, gj) -> global node id.  Local Q_k node l at
         # (a, b) with l = b*(k+1)+a (lexicographic, x fastest; fe/space.py)
-        node_grid = np.full((n_p, G, G), -1, dtype=np.int64)
+        node_grid = np.full((n_p, Gi, Gj), -1, dtype=np.int64)
         aa, bb = np.meshgrid(np.arange(k + 1), np.arange(k + 1),
                              indexing="ij")
         ll = (bb * (k + 1) + aa).reshape(-1)
-        for ci in range(m):
-            for cj in range(m):
+        for ci in range(mi):
+            for cj in range(mj):
                 cells = grid.cell_of[:, ci, cj]
                 sub = cd[cells][:, ll].reshape(n_p, k + 1, k + 1)
                 tgt = node_grid[:, k * ci:k * ci + k + 1,
@@ -158,17 +232,17 @@ class StencilOperator:
                           k * cj:k * cj + k + 1] = sub
         assert (node_grid >= 0).all()
 
-        Gp = G + 2 * k
-        M = Gp * Gp
+        Gpi, Gpj = Gi + 2 * k, Gj + 2 * k
+        M = Gpi * Gpj
         Np = n_p * M
         n_nodes = space.n_nodes
 
         # interior slot index (into the per-patch bordered M grid) of
-        # node (p, i, j): m = (i+k)*Gp + (j+k)
-        pm = ((np.arange(G)[:, None] + k) * Gp
-              + (np.arange(G)[None, :] + k))
+        # node (p, i, j): m = (i+k)*Gpj + (j+k)
+        pm = ((np.arange(Gi)[:, None] + k) * Gpj
+              + (np.arange(Gj)[None, :] + k))
         slot_of = (np.arange(n_p)[:, None, None] * M
-                   + pm[None]).reshape(-1)          # (n_p*G*G,)
+                   + pm[None]).reshape(-1)          # (n_p*Gi*Gj,)
         flat_nodes = node_grid.reshape(-1)
 
         # pad_node: (n_p, M) node id per slot, sentinel n_nodes at borders
@@ -208,8 +282,10 @@ class StencilOperator:
 
         self.space = space
         self.grid = grid
-        self.k, self.m, self.G, self.d = k, m, G, d
-        self.Gp, self.M = Gp, M
+        self.k, self.d = k, d
+        self.mi, self.mj = mi, mj
+        self.Gi, self.Gj = Gi, Gj
+        self.Gpi, self.Gpj, self.M = Gpi, Gpj, M
         self.n_p = n_p
         self.n_nodes = n_nodes
         self.n_slots = d * Np
@@ -222,9 +298,9 @@ class StencilOperator:
         self.comb_dup = jnp.asarray(is_dup)
         self.n_shared = n_sh
         self.perm_cells = jnp.asarray(grid.cell_of, dtype=jnp.int32)
-        # guard width so slice s starts at si*Gp + sj and reads the
+        # guard width so slice s starts at si*Gpj + sj and reads the
         # (i + si - k, j + sj - k) neighbor of every output node
-        self.F = k * Gp + k
+        self.F = k * Gpj + k
 
     # -- layout maps ----------------------------------------------------
     def weight(self, dtype=jnp.float32):
@@ -271,30 +347,34 @@ class StencilOperator:
         (S*S, d, d, n_p, M), own-patch contributions only, zero on the
         k-wide border rows.  jit-safe: (k+1)^4 strided slice-adds, no
         scatter."""
-        k, m, Gp, d, n_p = self.k, self.m, self.Gp, self.d, self.n_p
+        k, d, n_p = self.k, self.d, self.n_p
+        mi, mj, Gpi, Gpj = self.mi, self.mj, self.Gpi, self.Gpj
         S = 2 * k + 1
         Ec = Ab[self.perm_cells.reshape(-1)].reshape(
-            n_p, m, m, (k + 1) ** 2, d, (k + 1) ** 2, d)
-        W = jnp.zeros((S, S, d, d, n_p, Gp, Gp), dtype=Ab.dtype)
+            n_p, mi, mj, (k + 1) ** 2, d, (k + 1) ** 2, d)
+        W = jnp.zeros((S, S, d, d, n_p, Gpi, Gpj), dtype=Ab.dtype)
         for a in range(k + 1):
-            si = slice(a + k, a + k + k * (m - 1) + 1, k)
+            si = slice(a + k, a + k + k * (mi - 1) + 1, k)
             for b in range(k + 1):
-                sj = slice(b + k, b + k + k * (m - 1) + 1, k)
+                sj = slice(b + k, b + k + k * (mj - 1) + 1, k)
                 l1 = b * (k + 1) + a
                 for a2 in range(k + 1):
                     for b2 in range(k + 1):
                         l2 = b2 * (k + 1) + a2
-                        blk = Ec[:, :, :, l1, :, l2, :]   # (np,m,m,d,d)
+                        blk = Ec[:, :, :, l1, :, l2, :]  # (np,mi,mj,d,d)
                         W = W.at[a2 - a + k, b2 - b + k, :, :, :,
                                  si, sj].add(
                             blk.transpose(3, 4, 0, 1, 2))
-        return W.reshape(S * S, d, d, n_p, Gp * Gp)
+        return W.reshape(S * S, d, d, n_p, Gpi * Gpj)
 
     # -- apply ------------------------------------------------------------
     def combine(self, Y):
         """Sum duplicated copies of shared nodes and write the total back
         into every copy.  Y: (n_slots,) flat patch vector.  Gather-only:
-        fixed-width duplicate table row-sum + seg-of-slot select."""
+        fixed-width duplicate table row-sum + seg-of-slot select.
+        Identity for a merged single-patch grid (no shared nodes)."""
+        if self.n_shared == 0:
+            return Y
         v = Y.reshape(self.d, -1)
         tot = v[:, self.comb_tab].sum(axis=2)          # (d, n_shared)
         out = jnp.where(self.comb_dup[None], tot[:, self.comb_seg], v)
@@ -302,7 +382,7 @@ class StencilOperator:
 
     def matvec(self, W, x):
         """y = A x in patch layout (both flat (n_slots,))."""
-        k, Gp, M, d, n_p = self.k, self.Gp, self.M, self.d, self.n_p
+        k, Gpj, M, d, n_p = self.k, self.Gpj, self.M, self.d, self.n_p
         S = 2 * k + 1
         X = x.reshape(d, n_p, M)
         Xg = jnp.pad(X, ((0, 0), (0, 0), (self.F, self.F)))
@@ -310,7 +390,7 @@ class StencilOperator:
         for si in range(S):
             for sj in range(S):
                 win = jax.lax.dynamic_slice_in_dim(
-                    Xg, si * Gp + sj, M, axis=2)
+                    Xg, si * Gpj + sj, M, axis=2)
                 y = y + jnp.einsum("abpm,bpm->apm", W[si * S + sj], win,
                                    preferred_element_type=x.dtype)
         return self.combine(y.reshape(-1))

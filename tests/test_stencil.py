@@ -228,3 +228,37 @@ def test_poly_jacobi_element_path_matches_default():
         a_poly_omega = 0.7
 
     assert np.abs(run(PolyNoSt) - run(NoSt)).max() < 1e-6
+
+
+def test_merged_grid_combine_free():
+    """subdivided_hyper_rectangle meshes merge into ONE rectangular
+    super-patch: no duplicated nodes, combine-free stencil (the combine
+    gathers cost as much as the matvec in the many-small-patches
+    regime — see la/stencil.py docstring)."""
+    mesh = generators.subdivided_hyper_rectangle(
+        [5, 3], [0, 0], [5.0, 3.0]).refine_global(2)
+    grid = PatchGrid.build(mesh)
+    assert grid is not None
+    assert grid.n_patches == 1
+    assert (grid.mi, grid.mj) == (20, 12)
+    sp = FESpace(mesh, 2)
+    st = StencilOperator(grid, sp, d=2)
+    assert st.n_shared == 0
+    # matvec equality on the merged layout
+    rng = np.random.default_rng(11)
+    nl = sp.cell_dofs.shape[1]
+    Ab = jnp.asarray(_random_blocks(rng, mesh.n_cells, nl, 2))
+    x = jnp.asarray(rng.standard_normal(sp.n_nodes * 2))
+    y_ref = element_matvec_nodeblock(Ab, jnp.asarray(sp.cell_dofs),
+                                     sp.n_nodes, x)
+    y = st.unspread(st.matvec(st.build_weights(Ab), st.spread(x)))
+    err = float(jnp.abs(y - y_ref).max()) / float(jnp.abs(y_ref).max())
+    assert err < 1e-12, err
+
+
+def test_cylinder_grid_stays_multipatch():
+    """The Turek grid's irregular coarse topology cannot merge; the
+    multi-patch layout with the gather-only combine is kept."""
+    mesh = generators.flow_around_cylinder(2).refine_global(1)
+    grid = PatchGrid.build(mesh)
+    assert grid is not None and grid.n_patches > 1
