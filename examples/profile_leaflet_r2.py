@@ -54,7 +54,7 @@ def main():
     print("n_dofs", f.n_dofs, "cells", f.mesh.n_cells,
           "stencil", f._u_stencil is not None)
     st = f._u_stencil
-    print("n_p", st.n_p, "G", st.G, "M", st.M, "slots", st.n_slots,
+    print("n_p", st.n_p, "Gi", st.Gi, "Gj", st.Gj, "M", st.M, "slots", st.n_slots,
           "shared", st.n_shared)
 
     sol = f.present_solution

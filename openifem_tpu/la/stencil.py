@@ -345,27 +345,42 @@ class StencilOperator:
     def build_weights(self, Ab):
         """Element node-blocks (n_c, nl, d, nl, d) -> stencil tensor
         (S*S, d, d, n_p, M), own-patch contributions only, zero on the
-        k-wide border rows.  jit-safe: (k+1)^4 strided slice-adds, no
-        scatter."""
+        k-wide border rows.
+
+        jit-safe and scatter-free: accumulation happens in PHASE-MAJOR
+        coordinates (node i = k*ci + a stored at [a % k, ci + a // k]),
+        where every one of the (k+1)^4 slice-adds is CONTIGUOUS (the
+        grid-layout build needed stride-k slice writes, which XLA lowers
+        to scatters — 5x slower on a merged super-patch and heavy enough
+        to crash the remote compiler inside a fused solver graph); one
+        dense transpose/reshape interleaves the phases back to the
+        bordered grid layout at the end."""
         k, d, n_p = self.k, self.d, self.n_p
-        mi, mj, Gpi, Gpj = self.mi, self.mj, self.Gpi, self.Gpj
+        mi, mj, Gi, Gj = self.mi, self.mj, self.Gi, self.Gj
         S = 2 * k + 1
         Ec = Ab[self.perm_cells.reshape(-1)].reshape(
             n_p, mi, mj, (k + 1) ** 2, d, (k + 1) ** 2, d)
-        W = jnp.zeros((S, S, d, d, n_p, Gpi, Gpj), dtype=Ab.dtype)
+        Wph = jnp.zeros((S, S, d, d, n_p, k, mi + 1, k, mj + 1),
+                        dtype=Ab.dtype)
         for a in range(k + 1):
-            si = slice(a + k, a + k + k * (mi - 1) + 1, k)
+            ai, ao = a % k, a // k       # phase row, cell offset
             for b in range(k + 1):
-                sj = slice(b + k, b + k + k * (mj - 1) + 1, k)
+                bi, bo = b % k, b // k
                 l1 = b * (k + 1) + a
                 for a2 in range(k + 1):
                     for b2 in range(k + 1):
                         l2 = b2 * (k + 1) + a2
                         blk = Ec[:, :, :, l1, :, l2, :]  # (np,mi,mj,d,d)
-                        W = W.at[a2 - a + k, b2 - b + k, :, :, :,
-                                 si, sj].add(
+                        Wph = Wph.at[a2 - a + k, b2 - b + k, :, :, :,
+                                     ai, ao:ao + mi, bi,
+                                     bo:bo + mj].add(
                             blk.transpose(3, 4, 0, 1, 2))
-        return W.reshape(S * S, d, d, n_p, Gpi * Gpj)
+        # interleave phases -> grid rows i = k*ci' + a' (ci' major),
+        # trim the phase padding to (Gi, Gj), add the k-wide border
+        Wg = Wph.transpose(0, 1, 2, 3, 4, 6, 5, 8, 7).reshape(
+            S, S, d, d, n_p, k * (mi + 1), k * (mj + 1))[..., :Gi, :Gj]
+        Wg = jnp.pad(Wg, ((0, 0),) * 5 + ((k, k), (k, k)))
+        return Wg.reshape(S * S, d, d, n_p, self.M)
 
     # -- apply ------------------------------------------------------------
     def combine(self, Y):
