@@ -1,7 +1,7 @@
 from .insim import InsIM
 from .insimex import InsIMEX
-from .supg import SCnsIM, SerialSCnsIM, SUPGInsIM
+from .supg import SCnsIM, SerialSCnsIM, SUPGFluidSolver, SUPGInsIM
 from .scnsex import SCnsEX
 
-__all__ = ["InsIM", "InsIMEX", "SCnsIM", "SerialSCnsIM", "SUPGInsIM",
-           "SCnsEX"]
+__all__ = ["InsIM", "InsIMEX", "SCnsIM", "SerialSCnsIM",
+           "SUPGFluidSolver", "SUPGInsIM", "SCnsEX"]
