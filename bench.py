@@ -86,10 +86,11 @@ def _roofline_element(d, n_cells, dpc_v, dpc_p, bpe=4, a_stencil=None):
     matvec: 2*nc*dpc^2 flops; bytes = element-matrix traffic nc*dpc^2*bpe
     (the dominant stream) + in/out vector gathers 2*nc*dpc*8.
 
-    a_stencil = (n_p, M, S, dim): the inner A-solve ran in the
-    structured-patch stencil layout (la/stencil.py); its per-matvec
-    counts become W-tensor traffic (S^2*d^2 slots) + S^2 shifted window
-    reads + the output write instead of the element-block stream."""
+    a_stencil = (slots, S, dim): the inner A-solve ran in the
+    structured-patch stencil layout (la/stencil.py; slots = total
+    bordered slot count over all bricks); its per-matvec counts become
+    W-tensor traffic (S^dim*d^2 per slot) + S^dim shifted window reads +
+    the output write instead of the element-block stream."""
     tel = d.get("inner_iters_per_precond_apply")
     if tel is None or "outer_fgmres_iters" not in d:
         return
@@ -105,11 +106,11 @@ def _roofline_element(d, n_cells, dpc_v, dpc_p, bpe=4, a_stencil=None):
     f_full, b_full = mv(newton * outer, dpc, 8)       # f64 outer matvec
     n_a = newton * outer * tel["a_fgmres"]
     if a_stencil is not None:
-        n_p, M, S, dim = a_stencil
-        slots = n_p * M
-        f_a = n_a * 2.0 * slots * S * S * dim * dim
-        b_a = n_a * slots * bpe * (S * S * dim * dim   # W tensor
-                                   + S * S * dim       # window reads
+        slots, S, dim = a_stencil
+        pts = S ** dim
+        f_a = n_a * 2.0 * slots * pts * dim * dim
+        b_a = n_a * slots * bpe * (pts * dim * dim     # W tensor
+                                   + pts * dim         # window reads
                                    + dim)              # y write
     else:
         f_a, b_a = mv(n_a, dpc_v, bpe)
@@ -301,7 +302,7 @@ def bench_cylinder(refine, timed, velocity_mg=False, telemetry=True,
                   and getattr(s, "_velocity_mg", None) is None)
         out["a_stencil"] = bool(use_st)
         _roofline_element(out, meshes[-1].n_cells, dpc_v=18, dpc_p=4,
-                          a_stencil=(st.n_p, st.M, 2 * st.k + 1, st.d)
+                          a_stencil=(st.Np_total, 2 * st.k + 1, st.d)
                           if use_st else None)
     return out, value
 
@@ -463,7 +464,8 @@ def bench_scnsex_duct(n_steps=200):
     }, value
 
 
-def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
+def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True,
+                      local_refine=False):
     """fsi_leaflet (north-star #4): full coupled loop throughput,
     reference configuration (tests/fsi_leaflet/fsi_leaflet.cpp).
 
@@ -471,7 +473,14 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
     (VERDICT r3 #4 — TPU advantage should grow with size): +1 ~ 66k,
     +2 ~ 260k coupled DoF.  The dense condensed preconditioner only pays
     below ~25k dofs/block, so scaled cases switch to the element-matvec
-    path with the Galerkin pressure V-cycle on the nested hierarchy."""
+    path with the Galerkin pressure V-cycle on the nested hierarchy.
+
+    local_refine: keep the reference's LOCALLY refined mesh shape
+    (hanging-node band around the leaflet) for the scaled case instead
+    of uniform refinement — the reference's native workload (VERDICT r4
+    #5).  Round 5's lattice-brick stencil (la/stencil.py) decomposes
+    this mesh into 4 bricks per level, so the inner A-solve runs on the
+    stencil through the constraint wrap (insim.py st_flat)."""
     import jax.numpy as jnp
     from openifem_tpu.fsi.fsi import FSI
     from openifem_tpu.mesh import generators
@@ -525,12 +534,11 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
 
     base_mesh = generators.subdivided_hyper_rectangle(
         [int(L / h), int(H / h)], [0.0, 0.0], [L, H])
-    if extra_refine:
-        # scaled cases are UNIFORMLY refined (this bench's extension, not
-        # a reference config): everywhere at least as fine as the
+    if extra_refine and not local_refine:
+        # uniformly refined scaled case (this bench's extension, not a
+        # reference config): everywhere at least as fine as the
         # reference's locally-refined leaflet region after extra_refine
-        # global levels, and patch-structured so the stencil A-solve
-        # (la/stencil.py) engages inside the fused coupled step
+        # global levels, single-brick patch-structured
         fluid_mesh = base_mesh
     else:
         centers = base_mesh.cell_centers()
@@ -626,7 +634,7 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True):
             stf = getattr(f, "_u_stencil", None)
             out["a_stencil"] = stf is not None
             _roofline_element(out, f.mesh.n_cells, dpc_v=18, dpc_p=4,
-                              a_stencil=(stf.n_p, stf.M, 2 * stf.k + 1,
+                              a_stencil=(stf.Np_total, 2 * stf.k + 1,
                                          stf.d) if stf is not None
                               else None)
     return out, value
@@ -799,6 +807,10 @@ def main():
         if d["case"].startswith("fsi"):
             d["vs_ref_fsi_cavity_header"] = round(
                 d["mdof_steps_per_s"] / ref_fsi_cavity, 3)
+            # the fsi_cavity header timing is a copy-pasted cylinder
+            # comment, self-inconsistent by ~16x — see PARITY.md's
+            # three-way sanity analysis before reading this bar
+            d["fsi_cavity_header_suspect"] = True
         d = json_safe(d)
         details[:] = [c for c in details if c.get("case") != d["case"]]
         details.append(d)
@@ -849,7 +861,11 @@ def main():
              lambda: bench_fsi_leaflet(n_steps=5, extra_refine=2),
              is_headline=True)
     if only == "leaflet_r1":
-        d, v = bench_fsi_leaflet(n_steps=5, extra_refine=1)
+        # the reference's native workload shape: locally refined
+        # hanging-node mesh (VERDICT r4 #5), stencil A-solve via the
+        # lattice-brick decomposition
+        d, v = bench_fsi_leaflet(n_steps=5, extra_refine=1,
+                                 local_refine=True)
         record(d)
         headline(d, v)
     # ---- the >=1e5-DoF fluid case ----

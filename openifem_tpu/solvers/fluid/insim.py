@@ -203,16 +203,19 @@ class InsIM(FluidSolverBase):
                                         dtype=jnp.int32)
 
         # structured-patch stencil for the inner A-block solve
-        # (la/stencil.py): available when the mesh is a uniformly
-        # refine_global'd patch grid and the velocity space has no
-        # hanging constraints; _make_preconditioner falls back to the
-        # element matvec otherwise.  Perf-only: the stencil apply IS the
+        # (la/stencil.py): available when the mesh is brick-structured —
+        # uniformly refine_global'd patches (any dim) OR a locally
+        # refined lattice-brick mesh (round 5); _make_preconditioner
+        # falls back to the element matvec otherwise.  On hanging-node
+        # meshes the inner solve runs flat through the constraint wrap
+        # (flat_matvec); on conforming meshes it runs fully in the
+        # duplicated patch layout.  Perf-only: the stencil apply IS the
         # condensed element operator (tests/test_stencil.py).
         self._u_stencil = None
-        if self.a_stencil and d == 2:
+        if self.a_stencil:
             from ...la.stencil import PatchGrid, StencilOperator
             pgrid = PatchGrid.build(self.mesh)
-            if pgrid is not None and not self.u_constraints.any_hanging:
+            if pgrid is not None:
                 self._u_stencil = StencilOperator(pgrid, self.u_space,
                                                   d=d)
 
@@ -584,7 +587,8 @@ class InsIM(FluidSolverBase):
                 return z
             return M
 
-        if st is not None:
+        st_flat = st is not None and ucons.any_hanging
+        if st is not None and not st_flat:
             W_st = st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d))
             fix_st = st.spread_mask(ucons.fixed)
             w_st = st.weight(pdt)
@@ -595,6 +599,15 @@ class InsIM(FluidSolverBase):
                 a_M_st = lambda r: r * dinv_st     # noqa: E731
             a_M_st = _poly_wrap(
                 a_M_st, lambda x: st.condensed_matvec(W_st, fix_st, x))
+        elif st_flat:
+            # hanging-node brick meshes (round 5): the constraint
+            # projection P/P^T stays outside the operator, so the inner
+            # FGMRES runs FLAT with the stencil replacing only the raw
+            # element matvec inside the wrap — same condensed operator,
+            # same iterations, gather/scatter traffic gone
+            W_st = st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d))
+            op_A = ucons.wrap_operator(lambda x: st.flat_matvec(W_st, x))
+            a_M = _poly_wrap(a_M, op_A)
         elif vmg is None:
             a_M = _poly_wrap(a_M, op_A)
 
@@ -628,7 +641,7 @@ class InsIM(FluidSolverBase):
                 for _ in range(self.a_mg_cycles - 1):
                     au_x = au_x + a_M(utmp - op_A(au_x))
                 au_it = jnp.zeros((), jnp.int32)
-            elif st is not None:
+            elif st is not None and not st_flat:
                 # stencil-layout inner FGMRES: spread -> weighted solve ->
                 # read back the owning copies.  The weighted inner product
                 # makes this iteration-for-iteration identical to the flat

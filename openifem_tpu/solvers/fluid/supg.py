@@ -59,6 +59,17 @@ class SUPGFluidSolver(FluidSolverBase):
     # per-iteration gather/scatter latency gone.  Needs n_p * n_u * 4 B
     # of HBM (rectangular blocks only — no dense Avv).
     dense_precond = False
+    # coupled-node stencil (round 5, la/stencil.py): the Q1/Q1 equal-order
+    # SUPG family admits ONE (dim+1)-component (2k+1)^dim-point stencil
+    # for the coupled system matrix on brick-structured meshes (uniform
+    # OR locally refined — e.g. fsi-wall-3D's z-band).  The outer Jacobian
+    # apply and the Tpp preconditioner pieces (Avp/Apv/App as component
+    # slices of the same tensor) become shifted contiguous multiply-adds
+    # instead of element gather/scatters.  Exact same operator
+    # (reassociated sums only): converged solutions and iteration counts
+    # unchanged (tests/test_supg.py).  Auto-disabled on non-brick meshes
+    # or unequal FE degrees.
+    coupled_stencil = True
 
     def setup(self):
         # a previously attached V-cycle is built against the OLD mesh's
@@ -152,7 +163,52 @@ class SUPGFluidSolver(FluidSolverBase):
         cnt = Counter(seq[:K])
         self._h_terms = [(l, float(w), kind) for (l, kind), w in cnt.items()]
 
+        # coupled-node stencil for the Q1/Q1 system (class docstring at
+        # coupled_stencil): one StencilOperator on the shared node grid
+        # serves the outer matvec AND the Tpp sub-blocks via component
+        # slices
+        self._sys_stencil = None
+        if (self.coupled_stencil
+                and params.fluid_velocity_degree ==
+                params.fluid_pressure_degree
+                and self.u_space.n_nodes == self.p_space.n_nodes):
+            from ...la.stencil import PatchGrid, StencilOperator
+            pgrid = PatchGrid.build(self.mesh)
+            if pgrid is not None:
+                self._sys_stencil = StencilOperator(pgrid, self.p_space,
+                                                    d=d + 1)
+
         self._newton_iter = jax.jit(self._newton_iter_impl)
+
+    # -- coupled-stencil layout maps -------------------------------------
+    def _sys_to_nodal(self, x):
+        """System flat [u (n_nodes*d), p (n_nodes)] -> node-major
+        (n_nodes*(d+1)) with per-node components [u_0..u_{d-1}, p]."""
+        d = self.dim
+        u = x[:self.n_u].reshape(-1, d)
+        p = x[self.n_u:]
+        return jnp.concatenate([u, p[:, None]], axis=1).reshape(-1)
+
+    def _nodal_to_sys(self, y):
+        d = self.dim
+        Y = y.reshape(-1, d + 1)
+        return jnp.concatenate([Y[:, :d].reshape(-1), Y[:, d]])
+
+    def _sys_node_blocks(self, A_loc):
+        """Cell system blocks (n_c, nl*d+nl, nl*d+nl) -> coupled node
+        blocks (n_c, nl, d+1, nl, d+1) for the equal-order stencil."""
+        d = self.dim
+        n_c = A_loc.shape[0]
+        nl = self.nlu
+        nu = self.nu_loc
+        Auu = A_loc[:, :nu, :nu].reshape(n_c, nl, d, nl, d)
+        Aup = A_loc[:, :nu, nu:].reshape(n_c, nl, d, nl)
+        Apu = A_loc[:, nu:, :nu].reshape(n_c, nl, nl, d)
+        App = A_loc[:, nu:, nu:]
+        top = jnp.concatenate([Auu, Aup[..., None]], axis=4)
+        bot = jnp.concatenate([Apu[:, :, None], App[:, :, None, :, None]],
+                              axis=4)
+        return jnp.concatenate([top, bot], axis=2)
 
     def set_sigma_pml_field(self, fn):
         """reference: source/mpi_fluid_solver.cpp:93-103 (must be called
@@ -245,9 +301,14 @@ class SUPGFluidSolver(FluidSolverBase):
         return tau_supg, tau_pspg, tau_lsic
 
     # ------------------------------------------------------------------
-    def _make_preconditioner(self, A_loc, ucons, pcons):
+    def _make_preconditioner(self, A_loc, ucons, pcons, sys_W=None):
         """Washio incomplete-Schur ("Tpp") preconditioner
-        (reference: source/mpi_supg_solver.cpp:7-198)."""
+        (reference: source/mpi_supg_solver.cpp:7-198).
+
+        sys_W: optional prebuilt coupled stencil tensors (coupled_stencil
+        path) — Avp/Apv/App become component slices of it; built here
+        from A_loc when the solver has a stencil but no tensor was
+        passed (bench telemetry probes)."""
         pdt = jnp.float32 if self.mixed_precision_precond else A_loc.dtype
         A_loc = A_loc.astype(pdt)
         Avv = A_loc[:, :self.nu_loc, :self.nu_loc]
@@ -262,11 +323,36 @@ class SUPGFluidSolver(FluidSolverBase):
         def Pvv_inverse(x):
             return x * pvv_inv
 
+        st = getattr(self, "_sys_stencil", None)
         # node-block layout when the solver carries a velocity node table
         # (the padded dof-sharded proxy in parallel/shard.py does not and
         # falls back to the flat layout)
         cn_u = getattr(self, "cell_nodes_u", None)
-        if cn_u is not None:
+        if st is not None:
+            if sys_W is None:
+                sys_W = st.build_weights(self._sys_node_blocks(A_loc))
+            sys_W = tuple(w.astype(pdt) for w in sys_W)
+            d = self.dim
+            W_avp = st.slice_weights(sys_W, slice(0, d), slice(d, d + 1))
+            W_apv = st.slice_weights(sys_W, slice(d, d + 1), slice(0, d))
+            W_app = st.slice_weights(sys_W, slice(d, d + 1),
+                                     slice(d, d + 1))
+
+            def apply_Avp(xp):
+                xp = pcons.expand(xp) if pcons.any_hanging else xp
+                y = st.unspread(st.matvec(W_avp, st.spread(xp)))
+                return ucons.restrict(y)
+
+            def apply_Apv(xu):
+                xu = ucons.expand(xu)
+                y = st.unspread(st.matvec(W_apv, st.spread(xu)))
+                return pcons.restrict(y) if pcons.any_hanging else y
+
+            def raw_App(xp):
+                return st.unspread(st.matvec(W_app, st.spread(xp)))
+
+            op_App = pcons.wrap_operator(raw_App)
+        elif cn_u is not None:
             d = self.dim
             n_c = Avv.shape[0]
             nlu = self.nu_loc // d
@@ -298,8 +384,9 @@ class SUPGFluidSolver(FluidSolverBase):
                                         self.cell_dofs_u, self.n_p, xu)
                 return pcons.restrict(y) if pcons.any_hanging else y
 
-        op_App = pcons.wrap_operator(lambda x: element_matvec(
-            App, self.cell_dofs_p, self.n_p, x))
+        if st is None:
+            op_App = pcons.wrap_operator(lambda x: element_matvec(
+                App, self.cell_dofs_p, self.n_p, x))
 
         def Tpp(xp):
             y = op_App(xp) - apply_Apv(Pvv_inverse(apply_Avp(xp)))
@@ -320,7 +407,10 @@ class SUPGFluidSolver(FluidSolverBase):
         b2pp_diag = jnp.where(pcons.fixed, 1.0, b2pp_diag)
         b2pp_inv = jnp.where(jnp.abs(b2pp_diag) > 1e-300, 1.0 / b2pp_diag,
                              1.0)
-        dense = getattr(self, "dense_precond", False)
+        # the coupled stencil supersedes the dense condensed blocks when
+        # both are enabled (same algebra, less HBM traffic, no n_p x n_u
+        # dense storage)
+        dense = getattr(self, "dense_precond", False) and st is None
         if dense:
             # Dense condensed rectangular blocks + EXPLICIT dense Tpp
             # (la/dense.py): the SUPG preconditioner never iterates on the
@@ -409,7 +499,21 @@ class SUPGFluidSolver(FluidSolverBase):
         b = cons.condense_rhs(rhs)
         res_norm = jnp.linalg.norm(b)
         nlu = self.nu_loc // self.dim
-        if self.f32_matrix:
+        st = getattr(self, "_sys_stencil", None)
+        sys_W = None
+        if st is not None:
+            # coupled-node stencil outer apply (class docstring at
+            # coupled_stencil): one (dim+1)-component stencil tensor built
+            # per Newton iteration, shared with the Tpp preconditioner
+            A_op = A_loc.astype(jnp.float32) if self.f32_matrix else A_loc
+            sys_W = st.build_weights(self._sys_node_blocks(A_op))
+
+            def apply_A(x):
+                xs = x.astype(A_op.dtype)
+                y = self._nodal_to_sys(
+                    st.flat_matvec(sys_W, self._sys_to_nodal(xs)))
+                return y.astype(x.dtype)
+        elif self.f32_matrix:
             A_op = A_loc.astype(jnp.float32)
 
             def apply_A(x):
@@ -423,7 +527,8 @@ class SUPGFluidSolver(FluidSolverBase):
                     A_loc, self.cell_nodes_u, self.cell_dofs_p, nlu,
                     self.dim, self.n_u, self.n_p, x)
         op = cons.wrap_operator(apply_A)
-        precond = self._make_preconditioner(A_loc, ucons, pcons)
+        precond = self._make_preconditioner(A_loc, ucons, pcons,
+                                            sys_W=sys_W)
         atol = self._outer_atol(res_norm, res0, self.outer_rtol * res_norm)
         x, iters, residual = self._outer_solve(op, b, precond, atol)
         du = cons.distribute(x)

@@ -261,6 +261,8 @@ def test_insim_dense_precond_matches_reference_path():
     p.end_time = 0.03
     p.global_refinements[0] = 2
 
+    n_u = {}
+
     def run(dense, bf16=False):
         class F(InsIM):
             mixed_precision_precond = True
@@ -273,13 +275,25 @@ def test_insim_dense_precond_matches_reference_path():
         mesh = mesh.refine(c[:, 1] > 0.5)
         f = F(mesh, p)
         f.run(verbose=False)
+        n_u["n"] = f.n_u
         return np.asarray(f.present_solution)
+
+    def diff(a, b):
+        """Cavity flow has no pressure Dirichlet BC, so p is defined up
+        to a constant; different preconditioner trajectories converge to
+        different nullspace components (the round-5 stencil path lands
+        the default run on one ~2.67 away from the dense run's).
+        Compare velocity directly and pressure mean-shifted."""
+        n = n_u["n"]
+        du = np.abs(a[:n] - b[:n]).max()
+        dp = a[n:] - b[n:]
+        return max(du, np.abs(dp - dp.mean()).max())
 
     ref = run(False)
     scale = max(1.0, float(np.abs(ref).max()))
-    assert np.abs(run(True) - ref).max() < 1e-5 * scale
+    assert diff(run(True), ref) < 1e-5 * scale
     # bf16 A block: preconditioner-only, so Newton still converges — but a
     # different Krylov trajectory stops at a different point inside the
     # fluid_tolerance band (width ~ tol * kappa(J) * scale), so the
     # comparison is against that band, not f32 round-off
-    assert np.abs(run(True, bf16=True) - ref).max() < 1e-3 * scale
+    assert diff(run(True, bf16=True), ref) < 1e-3 * scale

@@ -236,6 +236,9 @@ def test_scnsim_dense_precond_matches_reference_path():
             mixed_precision_precond = True
             f32_matrix = True
             dense_precond = dense
+            # isolate dense vs element (the coupled stencil would
+            # supersede dense_precond on this brick-structured mesh)
+            coupled_stencil = False
         mesh = generators.subdivided_hyper_rectangle(
             [10, 8], [0.0, 0.0], [2.0, 0.4])
         c = mesh.cell_centers()
@@ -249,3 +252,77 @@ def test_scnsim_dense_precond_matches_reference_path():
     # preconditioner-only change: same operators, different round-off order
     # -> both iterates sit inside the same Newton tolerance band
     assert np.abs(run(True) - ref).max() < 1e-5 * scale
+
+
+def test_scnsim_coupled_stencil_matches_element_path():
+    """coupled_stencil (round 5, la/stencil.py): the Q1/Q1 coupled-node
+    stencil replaces the outer Jacobian apply AND the Tpp preconditioner
+    pieces with component slices of one (dim+1)-component stencil tensor.
+    Same operators (reassociated sums only) -> the converged Newton
+    solution matches the element path on a LOCALLY REFINED mesh
+    (hanging-node constraints stay outside the operator)."""
+    p = AllParameters.from_file(
+        f"{REF}/fluid_plane_wall_driven_mpi_insim_supg/"
+        "fluid_plane_wall_driven_mpi_insim_supg.prm")
+    p.end_time = 3 * p.time_step
+
+    def run(stencil):
+        class F(SCnsIM):
+            mixed_precision_precond = True
+            f32_matrix = True
+            coupled_stencil = stencil
+        mesh = generators.subdivided_hyper_rectangle(
+            [10, 8], [0.0, 0.0], [2.0, 0.4])
+        c = mesh.cell_centers()
+        mesh = mesh.refine(c[:, 0] < 0.5)
+        f = F(mesh, p)
+        f.run(verbose=False)
+        if stencil:
+            assert f._sys_stencil is not None, \
+                "stencil should engage on the locally refined brick mesh"
+        return np.asarray(f.present_solution)
+
+    ref = run(False)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(run(True) - ref).max() < 1e-5 * scale
+
+
+def test_scnsim_coupled_stencil_3d_local_refine():
+    """3D coupled stencil on the fsi-wall-3D mesh shape (z-band local
+    refinement): one SCnsIM Newton iteration must produce the same
+    update with the stencil outer apply + stencil Tpp as with the
+    element path (same operators, reassociation-level differences)."""
+    import jax.numpy as jnp
+    p = AllParameters.from_file(f"{REF}/fsi-wall-3D/fsi-wall-3D.prm")
+
+    def make(stencil):
+        class F(SCnsIM):
+            mixed_precision_precond = True
+            f32_matrix = True
+            coupled_stencil = stencil
+        mesh = generators.subdivided_hyper_rectangle(
+            [3, 3, 12], [0, 0, 0], [1.0, 1.0, 4.0])
+        c = mesh.cell_centers()
+        mesh = mesh.refine((c[:, 2] >= 2.0) & (c[:, 2] <= 2.4))
+        f = F(mesh, p)
+        f.setup()
+        return f
+
+    fs = make(True)
+    fe = make(False)
+    assert fs._sys_stencil is not None
+    assert fs._sys_stencil.grid.n_patches == 3
+    assert fe._sys_stencil is None
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal(fe.n_dofs) * 1e-3)
+    eddy = jnp.zeros(fe.u_space.n_nodes)
+    args = (x, fe.present_solution, fe.indicator, fe.fsi_acc_nodal,
+            fe.fsi_stress_nodal, fe.stress_device, eddy,
+            fe.zero_constraints, fe.u_constraints, fe.p_constraints)
+    du_e, rn_e, it_e, _ = fe._newton_iter_impl(*args)
+    du_s, rn_s, it_s, _ = fs._newton_iter_impl(*args)
+    assert float(jnp.abs(rn_s - rn_e)) < 1e-9 * float(rn_e)
+    scale = max(1.0, float(jnp.abs(du_e).max()))
+    assert float(jnp.abs(du_s - du_e).max()) < 2e-4 * scale
+    # same preconditioner algebra -> essentially the same Krylov work
+    assert abs(int(it_s) - int(it_e)) <= 2
