@@ -76,21 +76,32 @@ def _fgmres_cycle(op, M, x0, b, atol, restart: int, weight=None):
     weight: optional weighted-inner-product vector (see cg); the CGS2
     projections become V @ (w * v) and norms sqrt(<v, w v>) — Arnoldi in
     the weighted inner product, identical to flat FGMRES when the weights
-    are the patch-ownership mask of a duplicated layout."""
-    n = b.shape[0]
+    are the patch-ownership mask of a duplicated layout.
+
+    b may have ANY shape (not just 1-D): the basis stores b.shape slabs
+    and the CGS2 projections contract over all of b's axes.  This lets a
+    sharded layout (e.g. the plane-sharded stencil solve in
+    parallel/shard.py) keep its natural (d, planes, R) tensor shape —
+    and its GSPMD sharding — through the whole solve."""
+    nd = b.ndim
     dtype = b.dtype
+
+    def contract(V, v):
+        # (restart+1, *b.shape) x (*b.shape) -> (restart+1,)
+        return jnp.tensordot(V, v, axes=nd)
+
     if weight is None:
         wnorm = jnp.linalg.norm
-        wdot_mat = lambda V, v: V @ v
+        wdot_mat = contract
     else:
         w = weight
         wnorm = lambda v: jnp.sqrt(jnp.vdot(v, w.astype(v.dtype) * v))
-        wdot_mat = lambda V, v: V @ (w.astype(v.dtype) * v)
+        wdot_mat = lambda V, v: contract(V, w.astype(v.dtype) * v)
     r0 = b - op(x0)
     beta = wnorm(r0)
 
-    V = jnp.zeros((restart + 1, n), dtype=dtype)
-    Z = jnp.zeros((restart, n), dtype=dtype)
+    V = jnp.zeros((restart + 1,) + b.shape, dtype=dtype)
+    Z = jnp.zeros((restart,) + b.shape, dtype=dtype)
     H = jnp.zeros((restart + 1, restart), dtype=dtype)
     cs = jnp.zeros(restart, dtype=dtype)
     sn = jnp.zeros(restart, dtype=dtype)
@@ -113,9 +124,9 @@ def _fgmres_cycle(op, M, x0, b, atol, restart: int, weight=None):
         # CGS2: two classical Gram-Schmidt passes (batched dot products)
         mask = (jnp.arange(restart + 1) <= k).astype(dtype)
         h1 = wdot_mat(V, w) * mask
-        w = w - V.T @ h1
+        w = w - jnp.tensordot(h1, V, axes=[[0], [0]])
         h2 = wdot_mat(V, w) * mask
-        w = w - V.T @ h2
+        w = w - jnp.tensordot(h2, V, axes=[[0], [0]])
         h = h1 + h2
         wn = wnorm(w)
         H = H.at[:, k].set(h)
@@ -156,7 +167,7 @@ def _fgmres_cycle(op, M, x0, b, atol, restart: int, weight=None):
     y = jax.scipy.linalg.solve_triangular(Hs, jnp.where(active, g[:restart],
                                                         0.0), lower=False)
     y = jnp.where(active, y, 0.0)
-    x = x0 + Z.T @ y
+    x = x0 + jnp.tensordot(y, Z, axes=[[0], [0]])
     return x, res, k
 
 

@@ -412,6 +412,166 @@ def make_sharded_stepper(solver, mesh: Mesh, axis: str = "cells"):
     return run_n
 
 
+class ShardedStencil:
+    """Plane-sharded structured-patch stencil apply (VERDICT r4 #4).
+
+    Partitions a single-brick StencilOperator (la/stencil.py) along the
+    FIRST grid axis of the bordered brick: each device owns a contiguous
+    chunk of `cx` node planes (plane = all slots sharing the axis-0
+    coordinate, R = prod(Gp[1:]) slots each) plus a k-plane halo per
+    side exchanged with one lax.ppermute each way per matvec
+    (2*k*R*d values — the reference partitions exactly this cost through
+    PETSc's owned/ghost rows, source/mpi_fluid_solver.cpp:116-162).
+
+    Inside the shard_map body the apply is UNCHANGED: the flattened
+    offsets and the F-guard are plane-count-independent (axis-0 stride
+    is R), so each device runs the same shifted contiguous multiply-adds
+    on its (cx + 2k)-plane buffer; W rows on halo planes are zeroed so
+    every output plane has exactly one owner.  Krylov solves keep the
+    (d, P_pad, R) tensor shape end-to-end (la/krylov.py accepts ND
+    operands), so the basis, dots and axpys all stay plane-sharded under
+    GSPMD — only the halo ppermute is manual.
+
+    Exactness: same W entries, same per-plane sums as the flat apply —
+    only the (reassociated) Krylov reduction order differs.  Requires a
+    merged single-brick grid (n_shared == 0: the combine is an
+    identity); multi-brick lattice grids keep the replicated path."""
+
+    def __init__(self, st, mesh: Mesh, axis: str = "cells"):
+        if len(st._groups) != 1 or st._groups[0].n_b != 1 \
+                or st.n_shared != 0:
+            raise ValueError("sharded stencil needs a merged single-brick "
+                             "grid (no shared nodes)")
+        g = st._groups[0]
+        self.st = st
+        self.mesh = mesh
+        self.axis = axis
+        self.k = st.k
+        self.S = st.S
+        self.dim = st.dim
+        n_dev = int(np.prod(mesh.devices.shape))
+        self.n_dev = n_dev
+        self.P0 = g.Gp[0]                    # bordered planes, axis 0
+        self.R = g.M // self.P0              # slots per plane
+        self.P_pad = -(-self.P0 // n_dev) * n_dev
+        self.cx = self.P_pad // n_dev
+        if self.cx < st.k:
+            raise ValueError("chunk thinner than the stencil halo")
+        self.offsets = g.offsets             # plane-count-independent
+        self.F = g.F
+        self._x_sh = NamedSharding(mesh, P(None, axis, None))
+        self._w_sh = NamedSharding(mesh, P(None, None, None, axis, None))
+        self._matvec = self._build_matvec()
+
+    # -- layout maps (flat global <-> sharded plane tensors) -----------
+    def spread(self, x):
+        """Global flat (n_nodes*d,) -> (d, P_pad, R) plane-sharded."""
+        X = self.st.spread(x).reshape(-1, self.P0, self.R)
+        X = jnp.pad(X, ((0, 0), (0, self.P_pad - self.P0), (0, 0)))
+        return jax.lax.with_sharding_constraint(X, self._x_sh)
+
+    def unspread(self, X):
+        """(d, P_pad, R) -> global flat, reading the owning copy."""
+        d = X.shape[0]
+        return self.st.unspread(X[:, :self.P0].reshape(d, -1))
+
+    def spread_mask(self, mask):
+        return self.spread(mask)
+
+    def weight(self, dtype=jnp.float32, d=None):
+        """Ownership weights in the sharded layout (pad planes 0)."""
+        d = self.st.d if d is None else d
+        w = self.st.weight(dtype, d=d).reshape(d, self.P0, self.R)
+        w = jnp.pad(w, ((0, 0), (0, self.P_pad - self.P0), (0, 0)))
+        return jax.lax.with_sharding_constraint(w, self._x_sh)
+
+    def shard_weights(self, Ws):
+        """Stencil tensors from st.build_weights -> plane-sharded
+        (S^dim, d_out, d_in, P_pad, R)."""
+        (W,) = Ws                            # single group, n_b == 1
+        Sd, do, di = W.shape[0], W.shape[1], W.shape[2]
+        W = W.reshape(Sd, do, di, self.P0, self.R)
+        W = jnp.pad(W, ((0, 0),) * 3 + ((0, self.P_pad - self.P0), (0, 0)))
+        return jax.lax.with_sharding_constraint(W, self._w_sh)
+
+    # -- apply ----------------------------------------------------------
+    def _build_matvec(self):
+        k, R, cx, n_dev = self.k, self.R, self.cx, self.n_dev
+        F, offsets, axis = self.F, self.offsets, self.axis
+        Ml = (cx + 2 * k) * R
+
+        def body(W, X):
+            # W: (S^dim, d_out, d_in, cx, R), X: (d_in, cx, R) per device
+            di = X.shape[0]
+            lo = jax.lax.ppermute(
+                X[:, -k:], axis, [(i, i + 1) for i in range(n_dev - 1)])
+            hi = jax.lax.ppermute(
+                X[:, :k], axis, [(i, i - 1) for i in range(1, n_dev)])
+            Xb = jnp.concatenate([lo, X, hi], axis=1).reshape(di, Ml)
+            Wb = jnp.pad(W, ((0, 0),) * 3 + ((k, k), (0, 0)))
+            Wb = Wb.reshape(W.shape[0], W.shape[1], di, Ml)
+            Xp = jnp.pad(Xb, ((0, 0), (F, F)))
+            y = jnp.zeros((W.shape[1], Ml), X.dtype)
+            for sf, off in enumerate(offsets):
+                win = jax.lax.dynamic_slice_in_dim(Xp, off, Ml, axis=1)
+                y = y + jnp.einsum("abm,bm->am", Wb[sf], win,
+                                   preferred_element_type=X.dtype)
+            return y.reshape(W.shape[1], cx + 2 * k, R)[:, k:-k]
+
+        spec_w = P(None, None, None, self.axis, None)
+        spec_x = P(None, self.axis, None)
+        return jax.shard_map(body, mesh=self.mesh,
+                             in_specs=(spec_w, spec_x), out_specs=spec_x)
+
+    def matvec(self, W, X):
+        """y = A x, both in the sharded (d, P_pad, R) layout; W from
+        shard_weights."""
+        return self._matvec(W, X)
+
+    def condensed_matvec(self, W, fixed, X):
+        """Constraint-condensed apply (Dirichlet-only meshes): identity
+        on fixed rows, fixed columns zeroed — mirrors
+        StencilOperator.condensed_matvec in the sharded layout."""
+        Xz = jnp.where(fixed, 0.0, X)
+        Y = self._matvec(W, Xz)
+        return jnp.where(fixed, X, Y)
+
+
+def sharded_stencil_asolve(solver, mesh: Mesh, axis: str = "cells"):
+    """Plane-sharded inner A-block solve for an InsIM-family solver whose
+    mesh merged into a single stencil brick: per-Newton element blocks ->
+    stencil tensors -> weighted FGMRES entirely in the sharded
+    (d, P_pad, R) layout (ShardedStencil docstring).  Returns a jitted
+    solve(Auu, b, atol) -> SolveResult on the flat global layout, solving
+    the SAME condensed system as the replicated stencil path."""
+    from ..la.krylov import SolveResult, fgmres
+    from ..la.operators import element_diag
+
+    st = solver._u_stencil
+    sst = ShardedStencil(st, mesh, axis)
+    ucons = solver.u_constraints
+    d, nlu = solver.dim, solver.nlu
+    n_c = int(solver.mesh.n_cells)
+    fixed_np = np.asarray(ucons.fixed)
+
+    def solve(Auu, b, atol):
+        W = sst.shard_weights(
+            st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d)))
+        fix = sst.spread_mask(jnp.asarray(fixed_np))
+        w = sst.weight(b.dtype)
+        diag = jnp.where(ucons.fixed, 1.0, element_diag(
+            Auu, solver.cell_dofs_u, solver.n_u))
+        dinv = sst.spread(jnp.where(diag != 0, 1.0 / diag, 1.0))
+        B = sst.spread(b)
+        res = fgmres(lambda x: sst.condensed_matvec(W, fix, x), B,
+                     M=lambda r: r * dinv, atol=atol,
+                     restart=solver.a_inner_restart,
+                     max_restarts=solver.a_inner_restarts, weight=w)
+        return SolveResult(sst.unspread(res.x), res.iters, res.residual)
+
+    return jax.jit(solve)
+
+
 def sharded_supg_newton(solver, mesh: Mesh, axis: str = "cells"):
     """Fully dof-range-sharded Newton iteration for the SUPG fluid family
     (SUPGInsIM / SCnsIM / SerialSCnsIM), mirroring sharded_insim_newton:

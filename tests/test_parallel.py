@@ -358,3 +358,70 @@ def test_geometric_mg_on_locally_refined_mesh():
     assert int(res_m.iters) < int(res_j.iters) // 2
     scale = max(1.0, float(jnp.abs(res_j.x).max()))
     assert float(jnp.abs(res_m.x - res_j.x).max()) < 1e-8 * scale
+
+
+def test_sharded_stencil_matches_replicated():
+    """Plane-sharded stencil apply + weighted inner A-solve (VERDICT r4
+    #4, parallel/shard.py ShardedStencil): the matvec must equal the
+    replicated stencil apply exactly (same W entries, same per-plane
+    sums) and the sharded weighted-FGMRES A-solve must converge to the
+    same solution in essentially the same iterations as the flat solve."""
+    from openifem_tpu.la.krylov import fgmres
+    from openifem_tpu.la.operators import element_diag
+    from openifem_tpu.la.stencil import PatchGrid, StencilOperator
+    from openifem_tpu.mesh import generators
+    from openifem_tpu.parameters import AllParameters
+    from openifem_tpu.parallel import make_cell_mesh
+    from openifem_tpu.parallel.shard import (ShardedStencil,
+                                             sharded_stencil_asolve)
+    from openifem_tpu.solvers.fluid import InsIM
+
+    p = AllParameters.from_file(
+        "/root/reference/tests/fluid_cavity/fluid_cavity.prm")
+    p.global_refinements[0] = 4
+    mesh = generators.hyper_cube(0.0, 1.0, dim=2).refine_global(4)
+    f = InsIM(mesh, p)
+    f.setup()
+    st = f._u_stencil
+    assert st is not None and st.n_shared == 0
+    dmesh = make_cell_mesh()
+    sst = ShardedStencil(st, dmesh)
+
+    # real Newton velocity block at the initial state
+    ev = f.nonzero_constraints.apply_increment(f.present_solution)
+    A_loc, _ = f._assemble(ev, f.present_solution, f.indicator,
+                           f.fsi_acceleration, f.fsi_stress_cell,
+                           f.fsi_acc_nodal)
+    Auu = A_loc[:, :f.nu_loc, :f.nu_loc]
+    n_c, nlu, d = int(f.mesh.n_cells), f.nlu, f.dim
+    Ws = st.build_weights(Auu.reshape(n_c, nlu, d, nlu, d))
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal(f.n_u))
+
+    # raw apply equality: sharded == replicated == element
+    y_rep = st.unspread(st.matvec(Ws, st.spread(x)))
+    y_sh = sst.unspread(jax.jit(sst.matvec)(sst.shard_weights(Ws),
+                                            sst.spread(x)))
+    scale = float(jnp.abs(y_rep).max())
+    assert float(jnp.abs(y_sh - y_rep).max()) < 1e-12 * scale
+
+    # inner A-solve equality (the production fast path): flat reference
+    ucons = f.u_constraints
+    b = jnp.asarray(np.where(np.asarray(ucons.fixed), 0.0,
+                             rng.standard_normal(f.n_u)))
+    atol = 1e-8 * float(jnp.linalg.norm(b))
+    diag = jnp.where(ucons.fixed, 1.0,
+                     element_diag(Auu, f.cell_dofs_u, f.n_u))
+    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    fix_st = st.spread_mask(ucons.fixed)
+    ref = fgmres(lambda v: st.condensed_matvec(Ws, fix_st, v),
+                 st.spread(b), M=lambda r: r * st.spread(dinv),
+                 atol=atol, restart=f.a_inner_restart,
+                 max_restarts=f.a_inner_restarts,
+                 weight=st.weight(b.dtype))
+    x_ref = st.unspread(ref.x)
+    res = sharded_stencil_asolve(f, dmesh)(Auu, b, atol)
+    xs = max(1.0, float(jnp.abs(x_ref).max()))
+    assert float(jnp.abs(res.x - x_ref).max()) < 1e-8 * xs
+    assert abs(int(res.iters) - int(ref.iters)) <= 2
