@@ -524,8 +524,12 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True,
         dense_a_bf16 = extra_refine == 0
         # scaled cases: one Galerkin pressure V-cycle directly as Sm^-1
         # (the Sm-CG-wrapping-V-cycles chain is the dominant latency at
-        # >=60k dofs — same finding as cylinder r4)
-        mg_direct = extra_refine > 0
+        # >=60k dofs — same finding as cylinder r4).  BENCH_LEAFLET_MG=1
+        # tries the same at the REFERENCE size (VERDICT r4 #7: the
+        # remaining lever at 17k DoF is iteration counts — sm_cg=21 per
+        # precond apply becomes one direct V-cycle).
+        mg_direct = extra_refine > 0 or bool(
+            os.environ.get("BENCH_LEAFLET_MG"))
         a_poly = int(os.environ.get("BENCH_A_POLY", 1))
 
     # throughput bench: no per-step VTU writes (the reference prm's
@@ -564,14 +568,15 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True,
         meshes.append(meshes[-1].refine_global(1))
     fluid.mesh = meshes[-1]
     fluid.setup()
-    if extra_refine:
+    if extra_refine or os.environ.get("BENCH_LEAFLET_MG"):
         # Galerkin pressure V-cycle: at >=60k dofs the Sm-CG iteration
         # count is what grows with the mesh; the hierarchy keeps it flat
         fluid.enable_pressure_mg(meshes)
-    # NO V-cycles at the reference size: measured 5007 ms/step with the
-    # 4-level pressure MG vs 3523 without — at 17k dofs (2.2k pressure
-    # dofs) the per-apply cycle overhead exceeds the Sm-CG iterations
-    # it saves.
+    # NO V-cycles-inside-Sm-CG at the reference size: measured 5007
+    # ms/step with the 4-level pressure MG preconditioning the Sm-CG vs
+    # 3523 without — at 17k dofs (2.2k pressure dofs) the per-apply cycle
+    # overhead exceeds the Sm-CG iterations it saves.  mg_direct (one
+    # V-cycle AS Sm^-1, no Sm-CG at all) is the BENCH_LEAFLET_MG probe.
     fsi._setup_coupling()
     newtons = []
     first_step = True
@@ -598,6 +603,8 @@ def bench_fsi_leaflet(n_steps=20, extra_refine=0, telemetry=True,
     out = {
         "case": "fsi_leaflet" + (f"_r{extra_refine}" if extra_refine
                                  else "")
+                + ("_mgdirect" if not extra_refine
+                   and os.environ.get("BENCH_LEAFLET_MG") else "")
                 + (f"_apoly{os.environ['BENCH_A_POLY']}"
                    if os.environ.get("BENCH_A_POLY") else ""),
         "n_dofs": int(n_dofs),
@@ -662,6 +669,13 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
         # preconditioner — no V-cycle hierarchy needed
         f32_outer = True
         dense_precond = True
+        # coupled-node stencil measured SLOWER here (r5, v5e): 4025.9
+        # ms/step vs 2427.8 dense — this mesh decomposes into 3 small
+        # lattice bricks, and the Tpp inner loop's ~1.4k component-slice
+        # stencil applies/step are latency-bound vs one dense GEMV each.
+        # The stencil stays the default for single-brick/2D SUPG meshes
+        # (bench_scnsim_r3); here the dense path wins.
+        coupled_stencil = False
 
     class BenchHypo(SharedHypoElasticity):
         f32_rates = True   # f64 rate einsums are emulated on TPU
