@@ -675,7 +675,10 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
         # stencil applies/step are latency-bound vs one dense GEMV each.
         # The stencil stays the default for single-brick/2D SUPG meshes
         # (bench_scnsim_r3); here the dense path wins.
-        coupled_stencil = False
+        # BENCH_WALL3D_HYBRID=1 probes stencil-outer + dense-Tpp
+        # (supg.py stencil_outer_only).
+        coupled_stencil = bool(os.environ.get("BENCH_WALL3D_HYBRID"))
+        stencil_outer_only = coupled_stencil
 
     class BenchHypo(SharedHypoElasticity):
         f32_rates = True   # f64 rate einsums are emulated on TPU
@@ -718,7 +721,9 @@ def bench_fsi_wall_3d(n_steps=10, full_res=True):
     n_dofs = fluid.n_dofs + solid.n_dofs
     value = n_dofs * n_steps / elapsed / 1e6
     out = {
-        "case": "fsi_wall_3d" + ("" if full_res else "_half_res"),
+        "case": "fsi_wall_3d" + ("" if full_res else "_half_res")
+                + ("_sthybrid" if os.environ.get("BENCH_WALL3D_HYBRID")
+                   else ""),
         "n_dofs": int(n_dofs),
         "timed_steps": n_steps,
         "ms_per_step": round(elapsed / n_steps * 1e3, 1),

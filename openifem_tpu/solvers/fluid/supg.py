@@ -70,6 +70,14 @@ class SUPGFluidSolver(FluidSolverBase):
     # unchanged (tests/test_supg.py).  Auto-disabled on non-brick meshes
     # or unequal FE degrees.
     coupled_stencil = True
+    # hybrid (r5): keep the stencil for the OUTER Jacobian apply but let
+    # dense_precond own the Tpp pieces.  On multi-brick 3D lattices the
+    # Tpp inner GMRES issues O(1e3) component-slice stencil applies per
+    # step, each latency-bound across brick shape groups, where one dense
+    # GEMV wins (measured on fsi-wall-3D: 4026 ms/step all-stencil vs
+    # 2428 all-dense); the outer apply is one full-tensor apply per
+    # Krylov iteration and keeps the stencil's bandwidth advantage.
+    stencil_outer_only = False
 
     def setup(self):
         # a previously attached V-cycle is built against the OLD mesh's
@@ -324,6 +332,12 @@ class SUPGFluidSolver(FluidSolverBase):
             return x * pvv_inv
 
         st = getattr(self, "_sys_stencil", None)
+        if (st is not None and getattr(self, "dense_precond", False)
+                and getattr(self, "stencil_outer_only", False)):
+            # hybrid mode (class docstring at stencil_outer_only): the
+            # outer apply keeps the coupled stencil, the preconditioner
+            # falls through to the dense condensed Tpp below
+            st = None
         # node-block layout when the solver carries a velocity node table
         # (the padded dof-sharded proxy in parallel/shard.py does not and
         # falls back to the flat layout)
